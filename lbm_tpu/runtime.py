@@ -1,0 +1,197 @@
+"""Host runtime: device selection, compilation cache, and the scan driver.
+
+This is the TPU-native analog of the reference's host layer (C1 + C4):
+
+* Device discovery/selection — env var ``LBM_DEVICE`` indexes
+  ``jax.devices()``, mirroring ``OCL_DEVICE`` (``d2q9-bgk.c:885-944``).
+* Per-grid kernel specialization — ``jax.jit`` retraces per (grid shape,
+  params), the analog of rebuilding ``kernels.cl`` with ``-D`` constants
+  (``d2q9-bgk.c:639-663``).
+* The time loop — the reference enqueues ``maxIters`` asynchronous kernel
+  launches and syncs once at the end (``d2q9-bgk.c:221-240``).  Here the
+  *entire* loop is one compiled XLA program: ``lax.scan`` carries
+  ``f[9, ny, nx]`` on-chip, accumulates the per-step average velocity into a
+  device array, and the host touches data exactly twice (upload f0,
+  download f_final + av_vels) — the same two-transfer contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbm_tpu import diagnostics
+from lbm_tpu.config import LBMParams
+from lbm_tpu.geometry import free_cells_of
+from lbm_tpu.ops.reference import init_cells, make_step_fn
+
+StepFn = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
+
+
+def select_device(spec: str | int | None = None) -> jax.Device:
+    """Pick the compute device (``LBM_DEVICE`` env analog of OCL_DEVICE)."""
+    if spec is None:
+        spec = os.environ.get("LBM_DEVICE", "")
+    devices = jax.devices()
+    if spec == "" or spec is None:
+        return devices[0]
+    idx = int(spec)
+    if not 0 <= idx < len(devices):
+        raise ValueError(
+            f"LBM_DEVICE={idx} out of range; {len(devices)} device(s): {devices}"
+        )
+    return devices[idx]
+
+
+def make_step(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    kernel: str = "auto",
+) -> StepFn:
+    """Step-function factory.  ``kernel``: 'auto' | 'fused' | 'reference'."""
+    if kernel == "auto":
+        kernel = "fused" if jax.default_backend() == "tpu" else "reference"
+    if kernel == "fused":
+        from lbm_tpu.ops.fused import make_fused_step_fn
+
+        return make_fused_step_fn(params, obstacles, free_cells_inv)
+    if kernel == "reference":
+        return make_step_fn(params, obstacles, free_cells_inv)
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
+@dataclasses.dataclass
+class RunResult:
+    """Outcome of a full simulation run."""
+
+    params: LBMParams
+    f: np.ndarray  # [9, ny, nx] float32 final distributions
+    av_vels: np.ndarray  # [maxIters] float32 per-step mean fluid speed
+    obstacles: np.ndarray  # [ny, nx] bool
+    free_cells_inv: float
+    elapsed: float  # seconds, upload -> download (reference's tic..toc)
+
+    @property
+    def reynolds(self) -> float:
+        return diagnostics.calc_reynolds(
+            self.params, self.f, self.obstacles, self.free_cells_inv
+        )
+
+    @property
+    def mlups(self) -> float:
+        """Million lattice-cell updates per second."""
+        cells = self.params.nx * self.params.ny * self.params.max_iters
+        return cells / self.elapsed / 1e6 if self.elapsed > 0 else float("inf")
+
+
+class Simulator:
+    """One configured simulation: grid, obstacles, compiled step program."""
+
+    def __init__(
+        self,
+        params: LBMParams,
+        obstacles: np.ndarray,
+        *,
+        kernel: str = "auto",
+        device: jax.Device | None = None,
+        collect_av_vels: bool = True,
+    ) -> None:
+        obstacles = np.asarray(obstacles, dtype=bool)
+        if obstacles.shape != (params.ny, params.nx):
+            raise ValueError(
+                f"obstacle mask {obstacles.shape} != grid {(params.ny, params.nx)}"
+            )
+        self.params = params
+        self.obstacles = obstacles
+        self.free_cells = free_cells_of(obstacles)
+        self.free_cells_inv = np.float32(1.0) / np.float32(self.free_cells)
+        self.device = device if device is not None else select_device()
+        self.kernel = kernel
+        self._step = make_step(params, obstacles, self.free_cells_inv, kernel)
+        self._collect = collect_av_vels
+        self._compiled = None
+
+    # -- compiled program ---------------------------------------------------
+
+    def _build(self, max_iters: int):
+        step = self._step
+
+        def body(f, _):
+            f, av = step(f)
+            return f, av if self._collect else None
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run_scan(f0):
+            return jax.lax.scan(body, f0, None, length=max_iters)
+
+        return run_scan
+
+    def compiled(self, max_iters: int | None = None):
+        """AOT-compile (and cache) the full-run program for ``max_iters``.
+
+        Ahead-of-time compilation is the analog of the reference's
+        ``clBuildProgram`` inside ``initialise()`` — it happens before the
+        run timer starts.
+        """
+        if max_iters is None:
+            max_iters = self.params.max_iters
+        if self._compiled is None or self._compiled[0] != max_iters:
+            fn = self._build(max_iters)
+            spec = jax.ShapeDtypeStruct(
+                (9, self.params.ny, self.params.nx), jnp.float32
+            )
+            executable = fn.lower(spec).compile()
+            self._compiled = (max_iters, executable)
+        return self._compiled[1]
+
+    def initial_state(self) -> jax.Array:
+        return jax.device_put(init_cells(self.params), self.device)
+
+    def step_fn(self) -> StepFn:
+        """The raw (unjitted) single-step function, for composition/tests."""
+        return self._step
+
+    # -- driver ---------------------------------------------------------------
+
+    def run(
+        self,
+        max_iters: int | None = None,
+        f0: np.ndarray | jax.Array | None = None,
+        warmup: bool = False,
+    ) -> RunResult:
+        """Initialise, run the time loop on-device, read back once."""
+        if max_iters is None:
+            max_iters = self.params.max_iters
+        del warmup  # compilation is always ahead-of-time via compiled()
+        fn = self.compiled(max_iters)
+        tic = time.perf_counter()
+        f = (
+            self.initial_state()
+            if f0 is None
+            else jax.device_put(jnp.asarray(f0, jnp.float32), self.device)
+        )
+        f_final, av = fn(f)
+        f_host = np.asarray(jax.device_get(f_final))
+        av_host = (
+            np.asarray(jax.device_get(av))
+            if self._collect
+            else np.zeros(max_iters, np.float32)
+        )
+        toc = time.perf_counter()
+        run_params = dataclasses.replace(self.params, max_iters=max_iters)
+        return RunResult(
+            params=run_params,
+            f=f_host,
+            av_vels=av_host,
+            obstacles=self.obstacles,
+            free_cells_inv=float(self.free_cells_inv),
+            elapsed=toc - tic,
+        )

@@ -1,0 +1,34 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Must run before the first ``import jax`` anywhere in the test session so the
+XLA client is created with the forced host platform.  Sharding tests then
+see an 8-device mesh (the CPU stand-in for a v5e-8 slice).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-length golden runs (deselect with -m 'not slow')"
+    )
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not REFERENCE.exists():
+        pytest.skip("reference checkout not available")
+    return REFERENCE

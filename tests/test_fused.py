@@ -1,0 +1,77 @@
+"""Fused Pallas kernel vs the jnp reference path (interpret mode on CPU).
+
+The fused kernel must be *bit-identical* in interpret mode to guarantee the
+TPU path computes the same physics; TPU-vs-CPU then differs only by
+hardware rounding of identical programs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbm_tpu.config import LBMParams
+from lbm_tpu.geometry import channel_box, free_cells_of
+from lbm_tpu.ops.fused import (
+    build_fused_step,
+    choose_block_rows,
+    make_fused_step_fn,
+)
+from lbm_tpu.ops.reference import init_cells, make_step_fn
+
+
+def _compare(params, obstacles, by, steps=5):
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    fused = build_fused_step(params, by, interpret=True)
+    fluid = jnp.asarray((~obstacles).astype(np.float32))
+
+    @jax.jit
+    def fus(f):
+        f_new, tot = fused(f, fluid)
+        return f_new, tot * fcinv
+
+    f = g = init_cells(params)
+    for _ in range(steps):
+        f, av_ref = ref(f)
+        g, av_fus = fus(g)
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(g))
+        np.testing.assert_allclose(float(av_ref), float(av_fus), rtol=1e-6)
+
+
+def test_single_block_variant():
+    """Grid fits in one program (P=1): in-block periodic wrap path."""
+    params = LBMParams(128, 16, 5, 10, 0.1, 0.005, 1.85)
+    _compare(params, channel_box(128, 16), by=16)
+
+
+def test_row_blocked_variant():
+    """Multi-program path with pre-gathered ghost rows; the body-force row
+    ny-2 sits in the last block and is read across the block boundary."""
+    params = LBMParams(128, 16, 5, 10, 0.1, 0.01, 1.85)
+    _compare(params, channel_box(128, 16), by=4)
+
+
+def test_blocked_with_interior_wall():
+    """Obstacles spanning block boundaries bounce back correctly."""
+    params = LBMParams(128, 16, 4, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(128, 16, interior_row=7)
+    _compare(params, obstacles, by=4, steps=4)
+
+
+def test_choose_block_rows():
+    assert choose_block_rows(1024, 1024) == 64
+    assert choose_block_rows(256, 256) == 256  # whole grid in one program
+    assert choose_block_rows(128, 128) == 128
+    assert choose_block_rows(256, 128) == 256
+    assert choose_block_rows(7, 96) is None  # no power-of-two split
+
+
+def test_fallback_on_odd_grid():
+    """Non-power-of-two ny must transparently use the jnp path."""
+    params = LBMParams(96, 7, 3, 10, 0.1, 0.005, 1.85)
+    obstacles = np.zeros((7, 96), dtype=bool)
+    fcinv = np.float32(1.0 / obstacles.size)
+    step = make_fused_step_fn(params, obstacles, fcinv, interpret=True)
+    f = init_cells(params)
+    f2, av = jax.jit(step)(f)
+    assert np.isfinite(np.asarray(f2)).all()
