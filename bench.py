@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 1024x1024 D2Q9-BGK, 20000 timesteps, one TPU chip.
+
+Baseline: the reference's best GPU number — 11.69 s on a Tesla K20m
+(= 1793 MLUPS; BASELINE.md, report.odt) for the identical case
+(``input_1024x1024.params`` + ``obstacles_1024x1024.dat``).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": MLUPS, "unit": "MLUPS", "vs_baseline": x}
+"""
+
+import json
+import sys
+
+BASELINE_MLUPS = 1793.0  # Tesla K20m, reference report.odt
+
+
+def main() -> int:
+    from lbm_tpu.config import CANONICAL_PARAMS
+    from lbm_tpu.geometry import canonical_obstacles
+    from lbm_tpu.runtime import Simulator
+
+    case = "1024x1024"
+    params = CANONICAL_PARAMS[case]
+    obstacles = canonical_obstacles(case)
+    sim = Simulator(params, obstacles, kernel="auto")
+    sim.compiled()  # AOT compile outside the timed region
+
+    best = None
+    for _ in range(2):
+        res = sim.run()
+        if best is None or res.elapsed < best.elapsed:
+            best = res
+
+    print(
+        json.dumps(
+            {
+                "metric": f"MLUPS at {case} (20000 iters, single chip)",
+                "value": round(best.mlups, 1),
+                "unit": "MLUPS",
+                "vs_baseline": round(best.mlups / BASELINE_MLUPS, 3),
+            }
+        )
+    )
+    # Context lines on stderr so stdout stays a single JSON line.
+    print(
+        f"elapsed={best.elapsed:.3f}s reynolds={best.reynolds:.6f} "
+        f"kernel={sim.kernel}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,95 @@
+"""Output checker core — Python 3 reimplementation of the reference protocol.
+
+Contract (matching ``/root/reference/check/check.py``): compare a simulated
+``av_vels.dat`` (column 1) and ``final_state.dat`` (columns 0, 1, 5 = x, y,
+pressure) against reference files; coordinates must match exactly, step
+counts must match, and the run passes iff the maximum per-element relative
+difference on both series is finite and below the tolerance (default 1%).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load(av_vels_path: str, final_state_path: str):
+    av = np.loadtxt(av_vels_path, usecols=[1], ndmin=1)
+    fs = np.loadtxt(final_state_path, usecols=[0, 1, 5], ndmin=2)
+    return av, fs
+
+
+def _report(name: str, ref: np.ndarray, sim: np.ndarray, where) -> float:
+    diff = ref - sim
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct = 100.0 * diff / sim
+    idx = int(np.nanargmax(np.abs(pct))) if np.isfinite(pct).any() else 0
+    print(f"Total difference in {name} : {np.abs(diff).sum():.12E}")
+    print(f"Biggest difference (at {where(idx)}) : {diff[idx]:.12E}")
+    print(f"  {sim[idx]:.12E} vs. {ref[idx]:.12E} = {pct[idx]:.2g}%")
+    print()
+    return float(pct[idx]) if np.isfinite(pct[idx]) else float("nan")
+
+
+def compare_files(
+    *,
+    ref_av_vels: str,
+    ref_final_state: str,
+    av_vels: str,
+    final_state: str,
+    tolerance: float = 1.0,
+) -> bool:
+    """Run the full comparison; prints the report, returns pass/fail."""
+    av_ref, fs_ref = _load(ref_av_vels, ref_final_state)
+    av_sim, fs_sim = _load(av_vels, final_state)
+
+    if fs_ref.shape != fs_sim.shape or (fs_ref[:, :2] != fs_sim[:, :2]).any():
+        print("Final state files coordinates were not the same")
+        return False
+    if av_ref.size != av_sim.size:
+        print("Different number of steps in av_vels files")
+        return False
+
+    worst_av = _report("av_vels", av_ref, av_sim, lambda i: f"step {i}")
+    worst_fs = _report(
+        "final_state",
+        fs_ref[:, 2],
+        fs_sim[:, 2],
+        lambda i: f"coord ({int(fs_sim[i, 0])},{int(fs_sim[i, 1])})",
+    )
+
+    failed = False
+    for name, worst in (("final state", worst_fs), ("av_vels", worst_av)):
+        if not np.isfinite(worst) or abs(worst) > tolerance:
+            print(f"{name} failed check")
+            failed = True
+    if not failed:
+        print("Both tests passed!")
+    return not failed
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Validate LBM outputs against reference results",
+        fromfile_prefix_chars="@",
+    )
+    parser.add_argument("--tolerance", nargs=1, default=[1.0], type=float)
+    parser.add_argument("--ref-av-vels-file", nargs=1, required=True)
+    parser.add_argument("--ref-final-state-file", nargs=1, required=True)
+    parser.add_argument("--av-vels-file", nargs=1, required=True)
+    parser.add_argument("--final-state-file", nargs=1, required=True)
+    args = parser.parse_args(argv)
+    ok = compare_files(
+        ref_av_vels=args.ref_av_vels_file[0],
+        ref_final_state=args.ref_final_state_file[0],
+        av_vels=args.av_vels_file[0],
+        final_state=args.final_state_file[0],
+        tolerance=args.tolerance[0],
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,164 @@
+"""Command-line interface.
+
+Parity target: the reference binary's contract (``/root/reference/
+d2q9-bgk.c:876-880``): ``d2q9-bgk <paramfile> <obstaclefile>`` reads the two
+input files, runs, prints the canonical 4-line epilogue (``==done==``,
+Reynolds number, elapsed + CPU times, ``d2q9-bgk.c:271-275``) and writes
+``final_state.dat`` / ``av_vels.dat`` into the working directory.  Device
+selection honours ``LBM_DEVICE`` (the ``OCL_DEVICE`` analog).
+
+Extensions over the reference CLI (subcommands):
+
+* ``run``    — the parity contract above, plus ``--output-dir``,
+  ``--kernel``, MLUPS/bandwidth reporting and an optional profiler trace.
+* ``bench``  — timed run without file output, JSON metric line.
+* ``check``  — compare produced outputs against reference data
+  (drives :mod:`tools.check`-equivalent logic in-process).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import resource
+import sys
+
+import numpy as np
+
+from lbm_tpu.config import LBMParams
+from lbm_tpu.geometry import load_obstacle_file
+from lbm_tpu.io import write_av_vels, write_final_state
+from lbm_tpu.runtime import RunResult, Simulator, select_device
+
+
+def _load_case(params_path: str, obstacles_path: str):
+    params = LBMParams.from_file(params_path)
+    obstacles, _ = load_obstacle_file(obstacles_path, params.nx, params.ny)
+    return params, obstacles
+
+
+def _epilogue(res: RunResult) -> None:
+    """The reference's stdout contract plus TPU perf counters."""
+    usage = resource.getrusage(resource.RUSAGE_SELF)
+    print("==done==")
+    print(f"Reynolds number:\t\t{res.reynolds:.12E}")
+    print(f"Elapsed time:\t\t\t{res.elapsed:.6f} (s)")
+    print(f"Elapsed user CPU time:\t\t{usage.ru_utime:.6f} (s)")
+    print(f"Elapsed system CPU time:\t{usage.ru_stime:.6f} (s)")
+    # Perf readout (beyond the reference: MLUPS + effective HBM traffic).
+    traffic_gb = 19 * 4 * res.params.nx * res.params.ny * res.params.max_iters / 1e9
+    print(f"MLUPS:\t\t\t\t{res.mlups:.1f}")
+    print(f"Effective bandwidth:\t\t{traffic_gb / res.elapsed:.1f} GB/s")
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    params, obstacles = _load_case(args.paramfile, args.obstaclefile)
+    if args.max_iters is not None:
+        import dataclasses
+
+        params = dataclasses.replace(params, max_iters=args.max_iters)
+    sim = Simulator(
+        params,
+        obstacles,
+        kernel=args.kernel,
+        device=select_device(args.device),
+    )
+    sim.compiled()  # JIT outside the timed region, like clBuildProgram
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            res = sim.run()
+    else:
+        res = sim.run()
+    _epilogue(res)
+    outdir = pathlib.Path(args.output_dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    write_final_state(outdir / "final_state.dat", params, res.f, obstacles)
+    write_av_vels(outdir / "av_vels.dat", res.av_vels)
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    params, obstacles = _load_case(args.paramfile, args.obstaclefile)
+    import dataclasses
+
+    if args.max_iters is not None:
+        params = dataclasses.replace(params, max_iters=args.max_iters)
+    sim = Simulator(params, obstacles, kernel=args.kernel)
+    sim.compiled()
+    best = None
+    for _ in range(args.repeats):
+        res = sim.run()
+        best = res if best is None or res.elapsed < best.elapsed else best
+    print(
+        json.dumps(
+            {
+                "metric": f"MLUPS {params.nx}x{params.ny}",
+                "value": round(best.mlups, 1),
+                "unit": "MLUPS",
+                "elapsed_s": round(best.elapsed, 4),
+                "reynolds": best.reynolds,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_check(args: argparse.Namespace) -> int:
+    from lbm_tpu.checker import compare_files
+
+    ok = compare_files(
+        ref_av_vels=args.ref_av_vels_file,
+        ref_final_state=args.ref_final_state_file,
+        av_vels=args.av_vels_file,
+        final_state=args.final_state_file,
+        tolerance=args.tolerance,
+    )
+    return 0 if ok else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="lbm", description="TPU-native D2Q9-BGK lattice-Boltzmann solver"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="simulate and write output files")
+    run.add_argument("paramfile")
+    run.add_argument("obstaclefile")
+    run.add_argument("--output-dir", default=".")
+    run.add_argument("--kernel", default="auto", choices=["auto", "fused", "reference"])
+    run.add_argument("--device", default=None, help="device index (LBM_DEVICE analog)")
+    run.add_argument("--max-iters", type=int, default=None)
+    run.add_argument("--profile", default=None, metavar="TRACE_DIR",
+                     help="write a jax.profiler trace")
+    run.set_defaults(func=cmd_run)
+
+    bench = sub.add_parser("bench", help="timed run, JSON metric output")
+    bench.add_argument("paramfile")
+    bench.add_argument("obstaclefile")
+    bench.add_argument("--kernel", default="auto")
+    bench.add_argument("--max-iters", type=int, default=None)
+    bench.add_argument("--repeats", type=int, default=1)
+    bench.set_defaults(func=cmd_bench)
+
+    check = sub.add_parser("check", help="compare outputs against references")
+    check.add_argument("--tolerance", type=float, default=1.0)
+    check.add_argument("--ref-av-vels-file", required=True)
+    check.add_argument("--ref-final-state-file", required=True)
+    check.add_argument("--av-vels-file", required=True)
+    check.add_argument("--final-state-file", required=True)
+    check.set_defaults(func=cmd_check)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,11 @@ import pathlib
 
 import numpy as np
 
+try:  # optional native parser (built via `make native`)
+    from lbm_tpu._native import lbmio as _lbmio
+except ImportError:  # pragma: no cover
+    _lbmio = None
+
 
 def load_obstacle_file(
     path: str | pathlib.Path, nx: int, ny: int
@@ -35,6 +40,9 @@ def load_obstacle_file(
     counts unique fluid cells (duplicate triplets counted once, as in the
     reference's ``if(!obstacles[...]) free_cells--`` guard).
     """
+    if _lbmio is not None:
+        raw, free = _lbmio.parse_obstacles(str(path), nx, ny)
+        return np.frombuffer(raw, dtype=np.uint8).reshape(ny, nx) != 0, free
     mask = np.zeros((ny, nx), dtype=bool)
     with open(path) as fp:
         for lineno, line in enumerate(fp, 1):

@@ -51,17 +51,19 @@ def write_final_state(
     """Write ``final_state.dat`` (row-major sweep: y outer, x inner)."""
     obstacles = np.asarray(obstacles, dtype=bool)
     u_x, u_y, speed, pressure = final_state_columns(params, f, obstacles)
+    ny, nx = obstacles.shape
     if _lbmio is not None:
         _lbmio.write_final_state(
             str(path),
-            np.ascontiguousarray(u_x),
-            np.ascontiguousarray(u_y),
-            np.ascontiguousarray(speed),
-            np.ascontiguousarray(pressure),
+            np.ascontiguousarray(u_x, dtype=np.float64),
+            np.ascontiguousarray(u_y, dtype=np.float64),
+            np.ascontiguousarray(speed, dtype=np.float64),
+            np.ascontiguousarray(pressure, dtype=np.float64),
             np.ascontiguousarray(obstacles.astype(np.int32)),
+            ny,
+            nx,
         )
         return
-    ny, nx = obstacles.shape
     xs = np.tile(np.arange(nx), ny)
     ys = np.repeat(np.arange(ny), nx)
     obs = obstacles.ravel().astype(int)

@@ -14,11 +14,14 @@ Design (TPU-first, not a translation):
 * Grids whose 9 planes fit in VMEM (<= 64k cells) run as ONE program whose
   block is the whole array; periodic wrap in y is an in-register row concat.
 * Larger grids walk row-blocks of ``BY`` rows.  The two wrap/halo rows each
-  program needs are pre-gathered *outside* the kernel into a tiny
-  ``ghost[2P, 9, nx]`` array (a ~2/BY-of-f extra read per step), because
-  Pallas TPU block shapes must keep the last two dims full or (8,128)-
-  aligned — a 1-row halo BlockSpec is not lowerable, and 8-row halo blocks
-  would cost 8x the halo traffic.
+  program needs are **carried through the time loop as a ghost-row state**
+  ``(ghost_s, ghost_n)[P, 9, nx]`` that the kernel itself emits as extra
+  outputs: program ``i`` writes its first/last post-collision rows into the
+  ghost slots of programs ``i-1`` / ``i+1`` (index maps ``(i∓1) % P``).
+  Measured on v5e this is ~3x faster than re-gathering halo rows from ``f``
+  between steps (the gather+transpose costs ~125 us/step at 1024^2; the
+  fused ghost writes are free), and Pallas cannot express 1-row halo
+  BlockSpecs directly (last-two-dims tiling constraint).
 * The body force (reference row ``ny-2``) only ever appears inside the last
   program's window (requires ``BY >= 3``; proof: ghost rows are ≡ -1 and 0
   mod BY while ny-2 ≡ BY-2), so it is applied branchlessly there before the
@@ -27,12 +30,15 @@ Design (TPU-first, not a translation):
 * The per-step mean-speed reduction accumulates across the (sequential) TPU
   grid into one SMEM scalar — subsuming the reference's two-stage
   workgroup-tree + batched ``reduce`` kernel (``kernels.cl:234-290``).
+* BGK equilibrium computed per opposite-speed pair (shared e·m² terms:
+  ``feq_{k,opp} = shared ± beta``), halving the collision flops.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +54,28 @@ from lbm_tpu.ops.reference import accel_weights
 # block; with double-buffered in+out blocks and temporaries this stays
 # within the ~16 MiB VMEM of a TPU core.
 _BLOCK_CELL_BUDGET = 64 * 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class StepProgram:
+    """A compiled-step protocol: scan carries an opaque state pytree.
+
+    ``init(f0) -> carry``; ``step(carry) -> (carry, av_vel)``;
+    ``final(carry) -> f``.
+    """
+
+    init: Callable[[jax.Array], Any]
+    step: Callable[[Any], tuple[Any, jax.Array]]
+    final: Callable[[Any], jax.Array]
+
+    def single(self) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
+        """Collapse to a plain ``f -> (f', av)`` one-step function."""
+
+        def fn(f: jax.Array) -> tuple[jax.Array, jax.Array]:
+            carry, av = self.step(self.init(f))
+            return self.final(carry), av
+
+        return fn
 
 
 def choose_block_rows(ny: int, nx: int) -> int | None:
@@ -78,6 +106,7 @@ def _compute(
     mask_ref,
     out_ref,
     tot_ref,
+    ghost_out,  # None | (gs_out_ref, gn_out_ref) each [1, 9, nx]
     *,
     by: int,
     omega: float,
@@ -124,17 +153,30 @@ def _compute(
     fluid = mask_ref[...] > f32(0.5)
 
     # --- BGK collision + bounce-back scatter --------------------------------
+    # Opposite-speed pairs share e.m^2 terms: feq_{k,opp} = shared ± beta.
     half_icsq_rinv = f32(1.5) * rho_inv
-    for k in range(NSPEEDS):
-        if k == 0:
-            feq = f32(WEIGHTS[0]) * (rho - half_icsq_rinv * msq)
-        else:
-            eu = f32(CX[k]) * mx + f32(CY[k]) * my
-            feq = f32(WEIGHTS[k]) * (
-                rho + f32(3.0) * eu + half_icsq_rinv * (f32(3.0) * eu * eu - msq)
-            )
-        relaxed = tmp[k] + f32(omega) * (feq - tmp[k])
-        out_ref[k, :, :] = jnp.where(fluid, relaxed, tmp[int(OPPOSITE[k])])
+    om = f32(omega)
+
+    def write(k: int, feq: jax.Array) -> None:
+        relaxed = tmp[k] + om * (feq - tmp[k])
+        res = jnp.where(fluid, relaxed, tmp[int(OPPOSITE[k])])
+        out_ref[k, :, :] = res
+        if ghost_out is not None:
+            gs_out, gn_out = ghost_out
+            # This block's first post-collision row is the NORTH ghost of
+            # the block below; its last row is the SOUTH ghost of the block
+            # above (index maps route them to the right slots).
+            gn_out[0, k, :] = res[0, :]
+            gs_out[0, k, :] = res[by - 1, :]
+
+    write(0, f32(WEIGHTS[0]) * (rho - half_icsq_rinv * msq))
+    for a, b, eu in ((1, 3, mx), (2, 4, my), (5, 7, mx + my), (6, 8, my - mx)):
+        w = f32(WEIGHTS[a])
+        equ = f32(3.0) * eu
+        shared = w * (rho + half_icsq_rinv * (equ * eu - msq))
+        beta = w * equ
+        write(a, shared + beta)
+        write(b, shared - beta)
 
     # --- av_velocity partial reduction ---------------------------------------
     part = jnp.sum(jnp.where(fluid, jnp.sqrt(msq) * rho_inv, f32(0.0)))
@@ -158,31 +200,50 @@ def _step_kernel_single(c_ref, mask_ref, out_ref, tot_ref, **kw):
         )
         for k in range(NSPEEDS)
     ]
-    _compute(exts, mask_ref, out_ref, tot_ref, accelerate=jnp.bool_(True), **kw)
+    _compute(
+        exts, mask_ref, out_ref, tot_ref, None, accelerate=jnp.bool_(True), **kw
+    )
 
 
-def _step_kernel_blocked(c_ref, g_ref, mask_ref, out_ref, tot_ref, **kw):
-    """Row-blocked variant: wrap/halo rows come from the ghost array."""
+def _step_kernel_blocked(
+    c_ref, gs_ref, gn_ref, mask_ref, out_ref, gs_out, gn_out, tot_ref, **kw
+):
+    """Row-blocked variant: halo rows from the carried ghost state."""
     i = pl.program_id(0)
     last = pl.num_programs(0) - 1
     exts = [
         jnp.concatenate(
-            [g_ref[0, k : k + 1, :], c_ref[k, :, :], g_ref[1, k : k + 1, :]],
+            [gs_ref[0, k : k + 1, :], c_ref[k, :, :], gn_ref[0, k : k + 1, :]],
             axis=0,
         )
         for k in range(NSPEEDS)
     ]
-    _compute(exts, mask_ref, out_ref, tot_ref, accelerate=(i == last), **kw)
+    _compute(
+        exts,
+        mask_ref,
+        out_ref,
+        tot_ref,
+        (gs_out, gn_out),
+        accelerate=(i == last),
+        **kw,
+    )
 
 
-def build_fused_step(
-    params: LBMParams, by: int, *, interpret: bool = False
-) -> Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]:
+def build_fused_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    by: int,
+    *,
+    interpret: bool = False,
+) -> StepProgram:
     """Compile-time specialization of the kernel for one grid/physics config
     (the analog of the reference's ``-D``-baked OpenCL rebuild)."""
     ny, nx = params.ny, params.nx
     grid = ny // by
     aw1, aw2 = accel_weights(params)
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+    fcinv = np.float32(free_cells_inv)
     kw = dict(
         by=by,
         omega=float(np.float32(params.omega)),
@@ -190,64 +251,98 @@ def build_fused_step(
         aw2=float(aw2),
     )
 
-    common = dict(
-        out_specs=[
-            pl.BlockSpec(
-                (NSPEEDS, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((NSPEEDS, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int(ny * nx * 140),
-            bytes_accessed=int((2 * NSPEEDS + 1) * ny * nx * 4),
-            transcendentals=int(ny * nx),
-        ),
-        interpret=interpret,
-    )
     center_spec = pl.BlockSpec(
         (NSPEEDS, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     mask_spec = pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tot_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    f_shape = jax.ShapeDtypeStruct((NSPEEDS, ny, nx), jnp.float32)
+    tot_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=int(ny * nx * 110),
+        bytes_accessed=int((2 * NSPEEDS + 1) * ny * nx * 4),
+        transcendentals=int(ny * nx),
+    )
 
     if grid == 1:
-        step = pl.pallas_call(
+        call = pl.pallas_call(
             functools.partial(_step_kernel_single, **kw),
             grid=(1,),
             in_specs=[center_spec, mask_spec],
-            **common,
+            out_specs=[center_spec, tot_spec],
+            out_shape=[f_shape, tot_shape],
+            cost_estimate=cost,
+            interpret=interpret,
         )
 
-        def fused(f: jax.Array, fluid_mask: jax.Array):
-            f_new, tot = step(f, fluid_mask)
-            return f_new, tot[0, 0]
+        def step1(f):
+            f_new, tot = call(f, jnp.asarray(fluid_host))
+            return f_new, tot[0, 0] * fcinv
 
-        return fused
+        return StepProgram(init=lambda f: f, step=step1, final=lambda f: f)
 
-    # Ghost rows per program: [south = (i*BY-1) % ny, north = ((i+1)*BY) % ny].
-    rows = np.array(
-        [r for i in range(grid) for r in ((i * by - 1) % ny, ((i + 1) * by) % ny)],
-        dtype=np.int32,
+    # Ghost state: gs[i] = global row (i*BY-1) % ny, gn[i] = ((i+1)*BY) % ny,
+    # each stored speeds-minor as [P, 9, nx] (valid block (1, 9, nx)).
+    south_rows = np.array([(i * by - 1) % ny for i in range(grid)], np.int32)
+    north_rows = np.array([((i + 1) * by) % ny for i in range(grid)], np.int32)
+    ghost_in_spec = pl.BlockSpec(
+        (1, NSPEEDS, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    ghost_spec = pl.BlockSpec(
-        (2, NSPEEDS, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    # Program i's first/last computed rows are the north/south ghosts of its
+    # neighbors below/above.
+    gn_out_spec = pl.BlockSpec(
+        (1, NSPEEDS, nx),
+        lambda i: ((i - 1) % grid, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    step = pl.pallas_call(
+    gs_out_spec = pl.BlockSpec(
+        (1, NSPEEDS, nx),
+        lambda i: ((i + 1) % grid, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ghost_shape = jax.ShapeDtypeStruct((grid, NSPEEDS, nx), jnp.float32)
+
+    call = pl.pallas_call(
         functools.partial(_step_kernel_blocked, **kw),
         grid=(grid,),
-        in_specs=[center_spec, ghost_spec, mask_spec],
-        **common,
+        in_specs=[center_spec, ghost_in_spec, ghost_in_spec, mask_spec],
+        out_specs=[center_spec, gs_out_spec, gn_out_spec, tot_spec],
+        out_shape=[f_shape, ghost_shape, ghost_shape, tot_shape],
+        cost_estimate=cost,
+        interpret=interpret,
     )
 
-    def fused(f: jax.Array, fluid_mask: jax.Array):
-        ghost = jnp.transpose(f[:, rows, :], (1, 0, 2))  # [2P, 9, nx]
-        f_new, tot = step(f, ghost, fluid_mask)
-        return f_new, tot[0, 0]
+    def init(f):
+        gs = jnp.transpose(f[:, south_rows, :], (1, 0, 2))
+        gn = jnp.transpose(f[:, north_rows, :], (1, 0, 2))
+        return (f, gs, gn)
 
-    return fused
+    def step(carry):
+        f, gs, gn = carry
+        f_new, gs_new, gn_new, tot = call(f, gs, gn, jnp.asarray(fluid_host))
+        return (f_new, gs_new, gn_new), tot[0, 0] * fcinv
+
+    return StepProgram(init=init, step=step, final=lambda c: c[0])
+
+
+def make_fused_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    *,
+    interpret: bool = False,
+) -> StepProgram:
+    """Fused-kernel step program, falling back to the jnp reference path
+    when the grid doesn't admit a valid row-block decomposition."""
+    by = choose_block_rows(params.ny, params.nx)
+    if by is None:
+        from lbm_tpu.ops.reference import make_step_fn
+
+        step = make_step_fn(params, obstacles, free_cells_inv)
+        return StepProgram(init=lambda f: f, step=step, final=lambda f: f)
+    return build_fused_program(
+        params, obstacles, free_cells_inv, by, interpret=interpret
+    )
 
 
 def make_fused_step_fn(
@@ -257,22 +352,8 @@ def make_fused_step_fn(
     *,
     interpret: bool = False,
 ) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
-    """``step(f) -> (f_next, av_vel)`` using the fused kernel.
-
-    Falls back to the jnp reference path when the grid doesn't admit a
-    valid row-block decomposition (non power-of-two ny, tiny grids).
-    """
-    by = choose_block_rows(params.ny, params.nx)
-    if by is None:
-        from lbm_tpu.ops.reference import make_step_fn
-
-        return make_step_fn(params, obstacles, free_cells_inv)
-    fused = build_fused_step(params, by, interpret=interpret)
-    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
-    fcinv = np.float32(free_cells_inv)
-
-    def step(f: jax.Array) -> tuple[jax.Array, jax.Array]:
-        f_new, tot = fused(f, jnp.asarray(fluid_host))
-        return f_new, tot * fcinv
-
-    return step
+    """Plain ``f -> (f', av)`` view of the fused program (re-derives the
+    ghost state every call — use :func:`make_fused_program` inside loops)."""
+    return make_fused_program(
+        params, obstacles, free_cells_inv, interpret=interpret
+    ).single()

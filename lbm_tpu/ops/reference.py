@@ -119,14 +119,22 @@ def equilibrium(
 
     feq_k = w_k (rho + 3 e_k·m + (4.5 (e_k·m)^2 - 1.5 |m|^2) / rho)
     which equals the textbook w_k rho (1 + 3 e·u + 4.5 (e·u)^2 - 1.5 u^2)
-    with u = m/rho.
+    with u = m/rho.  Computed per opposite-speed pair (e.m^2 terms shared:
+    feq_{k,opp(k)} = shared ± beta) in exactly the structure of the fused
+    Pallas kernel, so the two paths agree bitwise.
     """
     msq = mx * mx + my * my
-    cx = jnp.asarray(CX, dtype=rho.dtype)[:, None, None]
-    cy = jnp.asarray(CY, dtype=rho.dtype)[:, None, None]
-    eu = cx * mx + cy * my  # [9, ny, nx]
-    w = jnp.asarray(WEIGHTS, dtype=rho.dtype)[:, None, None]
-    return w * (rho + 3.0 * eu + (4.5 * eu * eu - 1.5 * msq) * rho_inv)
+    half_icsq_rinv = 1.5 * rho_inv
+    feq: list[jax.Array] = [None] * NSPEEDS
+    feq[0] = jnp.float32(WEIGHTS[0]) * (rho - half_icsq_rinv * msq)
+    for a, b, eu in ((1, 3, mx), (2, 4, my), (5, 7, mx + my), (6, 8, my - mx)):
+        w = jnp.float32(WEIGHTS[a])
+        equ = 3.0 * eu
+        shared = w * (rho + half_icsq_rinv * (equ * eu - msq))
+        beta = w * equ
+        feq[a] = shared + beta
+        feq[b] = shared - beta
+    return jnp.stack(feq)
 
 
 def collide(

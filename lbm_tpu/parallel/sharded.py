@@ -1,0 +1,240 @@
+"""Multi-chip spatial sharding: row-sharded grid with per-step halo exchange.
+
+The reference is a single-device code; its scaling story stops at one GPU
+(SURVEY §2 parallelism table).  This module adds the TPU-native scale-out:
+``f[9, ny, nx]`` is sharded by rows across a 1-D ``jax.sharding.Mesh``
+axis ``"y"``, and each timestep exchanges one ghost row per direction with
+``lax.ppermute`` over ICI, then runs the same fused physics locally.  The
+per-step mean-speed reduction becomes a ``lax.psum``.
+
+The whole run (the ``lax.scan`` over timesteps) lives *inside* one
+``shard_map``, so the entire multi-chip simulation is a single SPMD XLA
+program: no host round-trips, collectives compiled into the loop body —
+the distributed analog of the reference's "enqueue 40k kernels, sync once"
+contract (``d2q9-bgk.c:221-240``).
+
+Correctness notes:
+
+* Fully-periodic wrap in y is the ring permutation itself: device 0's
+  south ghost is device P-1's last row.
+* The body-force row ``ny-2`` lives on device P-1 (requires local
+  ``ny/P >= 3`` so its streaming readers are local too); the kick is
+  applied with a uniform row-index mask so the SPMD program stays
+  identical across devices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lbm_tpu.config import LBMParams
+from lbm_tpu.geometry import free_cells_of
+from lbm_tpu.ops.lattice import CX, CY, NSPEEDS
+from lbm_tpu.ops.reference import accel_weights, collide, init_cells
+
+AXIS = "y"
+
+
+def default_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over the first ``n_devices`` (all by default)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def _halo_exchange(f_loc: jax.Array, n_shards: int) -> tuple[jax.Array, jax.Array]:
+    """Ring-exchange the boundary rows.
+
+    Returns ``(ghost_s, ghost_n)``: the global rows just below/above this
+    shard's slab — one ``ppermute`` each way over the ICI ring.
+    """
+    if n_shards == 1:
+        return f_loc[:, -1:, :], f_loc[:, :1, :]
+    down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    ghost_s = jax.lax.ppermute(f_loc[:, -1:, :], AXIS, down)
+    ghost_n = jax.lax.ppermute(f_loc[:, :1, :], AXIS, up)
+    return ghost_s, ghost_n
+
+
+def _stream_with_ghosts(
+    f_loc: jax.Array, ghost_s: jax.Array, ghost_n: jax.Array
+) -> jax.Array:
+    """Pull-streaming on a row slab with explicit ghost rows."""
+    ny_loc = f_loc.shape[1]
+    ext = jnp.concatenate([ghost_s, f_loc, ghost_n], axis=1)
+    return jnp.stack(
+        [
+            jnp.roll(
+                ext[k, 1 - int(CY[k]) : 1 - int(CY[k]) + ny_loc, :],
+                int(CX[k]),
+                axis=1,
+            )
+            for k in range(NSPEEDS)
+        ]
+    )
+
+
+def _accelerate_masked(
+    f_loc: jax.Array,
+    fluid_loc: jax.Array,
+    row_is_kick: jax.Array,  # [ny_loc, 1] bool: local row == global ny-2
+    w1: np.float32,
+    w2: np.float32,
+) -> jax.Array:
+    """Body force with a uniform row mask (same program on every device)."""
+    ok = (
+        row_is_kick
+        & fluid_loc
+        & (f_loc[3] - w1 > 0.0)
+        & (f_loc[6] - w2 > 0.0)
+        & (f_loc[7] - w2 > 0.0)
+    )
+    okf = jnp.where(ok, jnp.float32(1.0), jnp.float32(0.0))
+    updates = []
+    scale = {1: w1, 3: -w1, 5: w2, 6: -w2, 7: -w2, 8: w2}
+    for k in range(NSPEEDS):
+        updates.append(f_loc[k] + okf * scale[k] if k in scale else f_loc[k])
+    return jnp.stack(updates)
+
+
+def make_sharded_run(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    mesh: Mesh,
+    max_iters: int | None = None,
+) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
+    """Build ``run(f_global) -> (f_final_global, av_vels)`` — one SPMD
+    program containing the full time loop over the mesh."""
+    if max_iters is None:
+        max_iters = params.max_iters
+    n_shards = mesh.shape[AXIS]
+    ny, nx = params.ny, params.nx
+    if ny % n_shards != 0:
+        raise ValueError(f"ny={ny} not divisible by mesh size {n_shards}")
+    ny_loc = ny // n_shards
+    if ny_loc < 3:
+        raise ValueError(
+            f"need >= 3 rows per shard (ny={ny}, shards={n_shards})"
+        )
+    omega = np.float32(params.omega)
+    w1, w2 = accel_weights(params)
+    fcinv = np.float32(free_cells_inv)
+    fluid_global = jnp.asarray(~np.asarray(obstacles, dtype=bool))
+
+    def local_run(f_loc: jax.Array, fluid_loc: jax.Array):
+        shard = jax.lax.axis_index(AXIS)
+        row0 = shard * ny_loc
+        local_rows = jax.lax.broadcasted_iota(jnp.int32, (ny_loc, 1), 0)
+        row_is_kick = (local_rows + row0) == (ny - 2)
+
+        def body(f, _):
+            f = _accelerate_masked(f, fluid_loc, row_is_kick, w1, w2)
+            ghost_s, ghost_n = _halo_exchange(f, n_shards)
+            tmp = _stream_with_ghosts(f, ghost_s, ghost_n)
+            f_new, tot_u = collide(tmp, fluid_loc, omega)
+            av = jax.lax.psum(tot_u, AXIS) * fcinv
+            return f_new, av
+
+        return jax.lax.scan(body, f_loc, None, length=max_iters)
+
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(AXIS, None)),
+        out_specs=(P(None, AXIS, None), P()),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(f_global: jax.Array):
+        return sharded(f_global, fluid_global)
+
+    return run
+
+
+@dataclasses.dataclass
+class ShardedRunResult:
+    params: LBMParams
+    f: np.ndarray
+    av_vels: np.ndarray
+    obstacles: np.ndarray
+    free_cells_inv: float
+    elapsed: float
+    n_shards: int
+
+    mlups = property(
+        lambda self: self.params.nx
+        * self.params.ny
+        * self.params.max_iters
+        / self.elapsed
+        / 1e6
+    )
+
+
+class ShardedSimulator:
+    """Row-sharded multi-chip simulator (weak-scaling path, BASELINE.json
+    4096x4096 / v5e-8 configuration)."""
+
+    def __init__(
+        self,
+        params: LBMParams,
+        obstacles: np.ndarray,
+        mesh: Mesh | None = None,
+    ) -> None:
+        self.params = params
+        self.obstacles = np.asarray(obstacles, dtype=bool)
+        if self.obstacles.shape != (params.ny, params.nx):
+            raise ValueError(
+                f"obstacle mask {self.obstacles.shape} != grid "
+                f"{(params.ny, params.nx)}"
+            )
+        self.mesh = mesh if mesh is not None else default_mesh()
+        self.free_cells = free_cells_of(self.obstacles)
+        self.free_cells_inv = np.float32(1.0) / np.float32(self.free_cells)
+        self._run = None
+        self._iters = None
+
+    def compiled(self, max_iters: int | None = None):
+        if max_iters is None:
+            max_iters = self.params.max_iters
+        if self._run is None or self._iters != max_iters:
+            self._run = make_sharded_run(
+                self.params,
+                self.obstacles,
+                self.free_cells_inv,
+                self.mesh,
+                max_iters,
+            )
+            self._iters = max_iters
+        return self._run
+
+    def run(self, max_iters: int | None = None) -> ShardedRunResult:
+        if max_iters is None:
+            max_iters = self.params.max_iters
+        fn = self.compiled(max_iters)
+        sharding = NamedSharding(self.mesh, P(None, AXIS, None))
+        tic = time.perf_counter()
+        f0 = jax.device_put(init_cells(self.params), sharding)
+        f_fin, av = fn(f0)
+        f_host = np.asarray(jax.device_get(f_fin))
+        av_host = np.asarray(jax.device_get(av))
+        toc = time.perf_counter()
+        return ShardedRunResult(
+            params=dataclasses.replace(self.params, max_iters=max_iters),
+            f=f_host,
+            av_vels=av_host,
+            obstacles=self.obstacles,
+            free_cells_inv=float(self.free_cells_inv),
+            elapsed=toc - tic,
+            n_shards=self.mesh.shape[AXIS],
+        )

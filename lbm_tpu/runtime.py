@@ -50,22 +50,37 @@ def select_device(spec: str | int | None = None) -> jax.Device:
     return devices[idx]
 
 
+def make_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    kernel: str = "auto",
+):
+    """Step-program factory.  ``kernel``: 'auto' | 'fused' | 'reference'.
+
+    Returns a :class:`lbm_tpu.ops.fused.StepProgram` whose scan carry may
+    hold extra state (e.g. the fused kernel's ghost-row buffers).
+    """
+    from lbm_tpu.ops.fused import StepProgram, make_fused_program
+
+    if kernel == "auto":
+        kernel = "fused" if jax.default_backend() == "tpu" else "reference"
+    if kernel == "fused":
+        return make_fused_program(params, obstacles, free_cells_inv)
+    if kernel == "reference":
+        step = make_step_fn(params, obstacles, free_cells_inv)
+        return StepProgram(init=lambda f: f, step=step, final=lambda f: f)
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
 def make_step(
     params: LBMParams,
     obstacles: np.ndarray,
     free_cells_inv: np.float32,
     kernel: str = "auto",
 ) -> StepFn:
-    """Step-function factory.  ``kernel``: 'auto' | 'fused' | 'reference'."""
-    if kernel == "auto":
-        kernel = "fused" if jax.default_backend() == "tpu" else "reference"
-    if kernel == "fused":
-        from lbm_tpu.ops.fused import make_fused_step_fn
-
-        return make_fused_step_fn(params, obstacles, free_cells_inv)
-    if kernel == "reference":
-        return make_step_fn(params, obstacles, free_cells_inv)
-    raise ValueError(f"unknown kernel {kernel!r}")
+    """Plain ``f -> (f', av)`` step function (see :func:`make_program`)."""
+    return make_program(params, obstacles, free_cells_inv, kernel).single()
 
 
 @dataclasses.dataclass
@@ -115,22 +130,27 @@ class Simulator:
         self.free_cells_inv = np.float32(1.0) / np.float32(self.free_cells)
         self.device = device if device is not None else select_device()
         self.kernel = kernel
-        self._step = make_step(params, obstacles, self.free_cells_inv, kernel)
+        self._program = make_program(
+            params, obstacles, self.free_cells_inv, kernel
+        )
         self._collect = collect_av_vels
         self._compiled = None
 
     # -- compiled program ---------------------------------------------------
 
     def _build(self, max_iters: int):
-        step = self._step
+        program = self._program
 
-        def body(f, _):
-            f, av = step(f)
-            return f, av if self._collect else None
+        def body(carry, _):
+            carry, av = program.step(carry)
+            return carry, av if self._collect else None
 
         @functools.partial(jax.jit, donate_argnums=0)
         def run_scan(f0):
-            return jax.lax.scan(body, f0, None, length=max_iters)
+            carry, av = jax.lax.scan(
+                body, program.init(f0), None, length=max_iters
+            )
+            return program.final(carry), av
 
         return run_scan
 
@@ -157,7 +177,7 @@ class Simulator:
 
     def step_fn(self) -> StepFn:
         """The raw (unjitted) single-step function, for composition/tests."""
-        return self._step
+        return self._program.single()
 
     # -- driver ---------------------------------------------------------------
 

@@ -1,0 +1,62 @@
+"""Profiling & perf accounting (reference aux subsystem 1, SURVEY §5.1).
+
+The reference's CPU era used TAU per-function profiles; its GPU era used
+wall-clock + derived GB/s in the report.  The TPU equivalents here:
+
+* :func:`trace` — context manager around ``jax.profiler`` producing a
+  TensorBoard-loadable trace of the compiled step program.
+* :class:`PerfReport` — MLUPS and effective-HBM-bandwidth accounting from
+  a run (the GB/s figures the reference report derives by hand).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+
+import jax
+
+# Bytes touched per cell per step by the fused kernel: read 9 f-planes +
+# 1 mask plane, write 9 f-planes, float32.
+BYTES_PER_CELL = (9 + 1 + 9) * 4
+FLOPS_PER_CELL = 140  # approximate VPU op count of the fused step
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """``with trace("/tmp/lbm_trace"): sim.run()`` -> TensorBoard trace."""
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+@dataclasses.dataclass(frozen=True)
+class PerfReport:
+    """Derived performance figures for one run."""
+
+    nx: int
+    ny: int
+    steps: int
+    elapsed: float
+
+    @property
+    def cell_updates(self) -> int:
+        return self.nx * self.ny * self.steps
+
+    @property
+    def mlups(self) -> float:
+        return self.cell_updates / self.elapsed / 1e6
+
+    @property
+    def effective_bandwidth_gbs(self) -> float:
+        return self.cell_updates * BYTES_PER_CELL / self.elapsed / 1e9
+
+    @property
+    def effective_gflops(self) -> float:
+        return self.cell_updates * FLOPS_PER_CELL / self.elapsed / 1e9
+
+    def summary(self) -> str:
+        return (
+            f"{self.nx}x{self.ny} x {self.steps} steps in {self.elapsed:.3f}s: "
+            f"{self.mlups:.0f} MLUPS, {self.effective_bandwidth_gbs:.0f} GB/s "
+            f"effective, {self.effective_gflops:.0f} GFLOP/s"
+        )

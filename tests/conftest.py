@@ -7,12 +7,22 @@ see an 8-device mesh (the CPU stand-in for a v5e-8 slice).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the host environment preselects a TPU platform
+# (e.g. JAX_PLATFORMS=axon): unit tests must not occupy the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# A sitecustomize may have imported jax at interpreter startup (before this
+# file ran), in which case the env vars above were read too early; override
+# through the config API — backends are created lazily, so this still wins
+# as long as no computation has run yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

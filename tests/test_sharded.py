@@ -1,0 +1,63 @@
+"""Sharded (shard_map + ppermute halo exchange) vs single-device equality.
+
+Runs on the 8-virtual-device CPU mesh forced by conftest — the software
+stand-in for a v5e-8 slice.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from lbm_tpu.config import LBMParams
+from lbm_tpu.geometry import channel_box, free_cells_of
+from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+from lbm_tpu.runtime import Simulator
+
+PARAMS = LBMParams(128, 64, 30, 10, 0.1, 0.005, 1.85)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest XLA_FLAGS)")
+    return jax.devices()[:8]
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 8])
+def test_sharded_matches_single_device(eight_devices, n_shards):
+    obstacles = channel_box(PARAMS.nx, PARAMS.ny, interior_row=31)
+    single = Simulator(PARAMS, obstacles, kernel="reference").run()
+
+    mesh = default_mesh(n_shards)
+    sharded = ShardedSimulator(PARAMS, obstacles, mesh=mesh).run()
+
+    # Same per-cell ops in the same order -> distributions match bitwise;
+    # only the av reduction tree differs (psum of per-shard partials).
+    np.testing.assert_array_equal(sharded.f, single.f)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-5)
+
+
+def test_body_force_row_crosses_shards(eight_devices):
+    """Kick row ny-2 sits on the last shard; its wake must propagate
+    identically when that shard boundary is one row above it."""
+    params = dataclasses.replace(PARAMS, ny=32, max_iters=20)
+    obstacles = channel_box(params.nx, params.ny)
+    single = Simulator(params, obstacles, kernel="reference").run()
+    sharded = ShardedSimulator(params, obstacles, mesh=default_mesh(8)).run()
+    np.testing.assert_array_equal(sharded.f, single.f)
+
+
+def test_rejects_indivisible_grid(eight_devices):
+    params = dataclasses.replace(PARAMS, ny=36)
+    obstacles = channel_box(params.nx, params.ny)
+    with pytest.raises(ValueError, match="not divisible"):
+        ShardedSimulator(params, obstacles, mesh=default_mesh(8)).compiled()
+
+
+def test_rejects_too_thin_shards(eight_devices):
+    params = dataclasses.replace(PARAMS, ny=16)
+    obstacles = channel_box(params.nx, params.ny)
+    with pytest.raises(ValueError, match="3 rows"):
+        ShardedSimulator(params, obstacles, mesh=default_mesh(8)).compiled()
