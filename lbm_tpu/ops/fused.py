@@ -229,6 +229,94 @@ def _step_kernel_blocked(
     )
 
 
+def _step_kernel_blocked_gated(
+    c_ref, gs_ref, gn_ref, mask_ref, gate_ref, out_ref, gs_out, gn_out,
+    tot_ref, **kw
+):
+    """Blocked variant with a runtime body-force gate (SPMD sharded use:
+    only the device owning global row ny-2 kicks, but all devices run the
+    same program)."""
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+    exts = [
+        jnp.concatenate(
+            [gs_ref[0, k : k + 1, :], c_ref[k, :, :], gn_ref[0, k : k + 1, :]],
+            axis=0,
+        )
+        for k in range(NSPEEDS)
+    ]
+    _compute(
+        exts,
+        mask_ref,
+        out_ref,
+        tot_ref,
+        (gs_out, gn_out),
+        accelerate=(i == last) & (gate_ref[0, 0] > 0),
+        **kw,
+    )
+
+
+def build_blocked_kernel(
+    ny: int,
+    nx: int,
+    by: int,
+    omega: float,
+    aw1: float,
+    aw2: float,
+    *,
+    dynamic_accel_gate: bool = False,
+    interpret: bool = False,
+):
+    """The raw blocked pallas_call:
+    ``call(f, gs, gn, mask[, gate]) -> (f', gs', gn', tot)`` with ghost
+    arrays shaped [P, 9, nx] (see module docstring for slot routing)."""
+    grid = ny // by
+    kw = dict(by=by, omega=omega, aw1=aw1, aw2=aw2)
+    center_spec = pl.BlockSpec(
+        (NSPEEDS, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    mask_spec = pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tot_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    ghost_in_spec = pl.BlockSpec(
+        (1, NSPEEDS, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    gn_out_spec = pl.BlockSpec(
+        (1, NSPEEDS, nx),
+        lambda i: ((i - 1) % grid, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gs_out_spec = pl.BlockSpec(
+        (1, NSPEEDS, nx),
+        lambda i: ((i + 1) % grid, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [center_spec, ghost_in_spec, ghost_in_spec, mask_spec]
+    kernel = _step_kernel_blocked
+    if dynamic_accel_gate:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        kernel = _step_kernel_blocked_gated
+    return pl.pallas_call(
+        functools.partial(kernel, **kw),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=[center_spec, gs_out_spec, gn_out_spec, tot_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((NSPEEDS, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((grid, NSPEEDS, nx), jnp.float32),
+            jax.ShapeDtypeStruct((grid, NSPEEDS, nx), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(ny * nx * 110),
+            bytes_accessed=int((2 * NSPEEDS + 1) * ny * nx * 4),
+            transcendentals=int(ny * nx),
+        ),
+        interpret=interpret,
+    )
+
+
 def build_fused_program(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -285,31 +373,8 @@ def build_fused_program(
     # each stored speeds-minor as [P, 9, nx] (valid block (1, 9, nx)).
     south_rows = np.array([(i * by - 1) % ny for i in range(grid)], np.int32)
     north_rows = np.array([((i + 1) * by) % ny for i in range(grid)], np.int32)
-    ghost_in_spec = pl.BlockSpec(
-        (1, NSPEEDS, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    # Program i's first/last computed rows are the north/south ghosts of its
-    # neighbors below/above.
-    gn_out_spec = pl.BlockSpec(
-        (1, NSPEEDS, nx),
-        lambda i: ((i - 1) % grid, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    gs_out_spec = pl.BlockSpec(
-        (1, NSPEEDS, nx),
-        lambda i: ((i + 1) % grid, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    ghost_shape = jax.ShapeDtypeStruct((grid, NSPEEDS, nx), jnp.float32)
-
-    call = pl.pallas_call(
-        functools.partial(_step_kernel_blocked, **kw),
-        grid=(grid,),
-        in_specs=[center_spec, ghost_in_spec, ghost_in_spec, mask_spec],
-        out_specs=[center_spec, gs_out_spec, gn_out_spec, tot_spec],
-        out_shape=[f_shape, ghost_shape, ghost_shape, tot_shape],
-        cost_estimate=cost,
-        interpret=interpret,
+    call = build_blocked_kernel(
+        ny, nx, by, kw["omega"], kw["aw1"], kw["aw2"], interpret=interpret
     )
 
     def init(f):

@@ -162,6 +162,110 @@ def make_sharded_run(
     return run
 
 
+def make_sharded_fused_run(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    mesh: Mesh,
+    max_iters: int | None = None,
+    *,
+    interpret: bool = False,
+) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
+    """Fused-Pallas sharded run: each shard runs the blocked ghost-roundtrip
+    kernel locally; the two cross-shard ghost slots are patched per step
+    with one ``ppermute`` each way over ICI.
+
+    Slot algebra: the local kernel wraps ghosts block-cyclically, so after a
+    step shard ``d``'s ``gs_out[0]`` holds its *own last row* — exactly what
+    shard ``d+1`` needs as its south ghost — and ``gn_out[P-1]`` holds its
+    own first row — what shard ``d-1`` needs as its north ghost.  The
+    per-step patch is therefore a pure neighbor exchange of those two slots.
+    """
+    from lbm_tpu.ops.fused import build_blocked_kernel, choose_block_rows
+
+    if max_iters is None:
+        max_iters = params.max_iters
+    n_shards = mesh.shape[AXIS]
+    ny, nx = params.ny, params.nx
+    if ny % n_shards != 0:
+        raise ValueError(f"ny={ny} not divisible by mesh size {n_shards}")
+    ny_loc = ny // n_shards
+    by = choose_block_rows(ny_loc, nx)
+    if by is None:
+        raise ValueError(
+            f"local grid {ny_loc}x{nx} has no valid row-block split; "
+            "use ShardedSimulator(kernel='reference')"
+        )
+    p_loc = ny_loc // by
+    w1, w2 = accel_weights(params)
+    fcinv = np.float32(free_cells_inv)
+    fluid_global = jnp.asarray(
+        (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+    )
+    call = build_blocked_kernel(
+        ny_loc,
+        nx,
+        by,
+        float(np.float32(params.omega)),
+        float(w1),
+        float(w2),
+        dynamic_accel_gate=True,
+        interpret=interpret,
+    )
+    down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    south_rows = np.array([(i * by - 1) % ny_loc for i in range(p_loc)], np.int32)
+    north_rows = np.array(
+        [((i + 1) * by) % ny_loc for i in range(p_loc)], np.int32
+    )
+
+    def local_run(f_loc: jax.Array, fluid_loc: jax.Array):
+        shard = jax.lax.axis_index(AXIS)
+        # Global row ny-2 lives on the last shard (local row ny_loc-2,
+        # inside local program p_loc-1 since by >= 3).
+        gate = (shard == n_shards - 1).astype(jnp.int32).reshape(1, 1)
+
+        def patch(gs, gn):
+            if n_shards == 1:
+                return gs, gn
+            recv_s = jax.lax.ppermute(gs[0], AXIS, down)
+            recv_n = jax.lax.ppermute(gn[p_loc - 1], AXIS, up)
+            gs = jnp.concatenate([recv_s[None], gs[1:]], axis=0)
+            gn = jnp.concatenate([gn[: p_loc - 1], recv_n[None]], axis=0)
+            return gs, gn
+
+        def body(carry, _):
+            f, gs, gn = carry
+            gs, gn = patch(gs, gn)
+            f2, gs2, gn2, tot = call(f, gs, gn, fluid_loc, gate)
+            av = jax.lax.psum(tot[0, 0] * fcinv, AXIS)
+            return (f2, gs2, gn2), av
+
+        gs0 = jnp.transpose(f_loc[:, south_rows, :], (1, 0, 2))
+        gn0 = jnp.transpose(f_loc[:, north_rows, :], (1, 0, 2))
+        (f_fin, _, _), avs = jax.lax.scan(
+            body, (f_loc, gs0, gn0), None, length=max_iters
+        )
+        return f_fin, avs
+
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(AXIS, None)),
+        out_specs=(P(None, AXIS, None), P()),
+        # pallas_call outputs carry no varying-mesh-axis metadata; skip the
+        # static replication check (correctness is covered by tests that
+        # compare sharded vs single-device runs).
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(f_global: jax.Array):
+        return sharded(f_global, fluid_global)
+
+    return run
+
+
 @dataclasses.dataclass
 class ShardedRunResult:
     params: LBMParams
@@ -190,6 +294,8 @@ class ShardedSimulator:
         params: LBMParams,
         obstacles: np.ndarray,
         mesh: Mesh | None = None,
+        kernel: str = "auto",
+        interpret: bool = False,
     ) -> None:
         self.params = params
         self.obstacles = np.asarray(obstacles, dtype=bool)
@@ -201,6 +307,10 @@ class ShardedSimulator:
         self.mesh = mesh if mesh is not None else default_mesh()
         self.free_cells = free_cells_of(self.obstacles)
         self.free_cells_inv = np.float32(1.0) / np.float32(self.free_cells)
+        if kernel == "auto":
+            kernel = "fused" if jax.default_backend() == "tpu" else "reference"
+        self.kernel = kernel
+        self.interpret = interpret
         self._run = None
         self._iters = None
 
@@ -208,13 +318,23 @@ class ShardedSimulator:
         if max_iters is None:
             max_iters = self.params.max_iters
         if self._run is None or self._iters != max_iters:
-            self._run = make_sharded_run(
-                self.params,
-                self.obstacles,
-                self.free_cells_inv,
-                self.mesh,
-                max_iters,
-            )
+            if self.kernel == "fused":
+                self._run = make_sharded_fused_run(
+                    self.params,
+                    self.obstacles,
+                    self.free_cells_inv,
+                    self.mesh,
+                    max_iters,
+                    interpret=self.interpret,
+                )
+            else:
+                self._run = make_sharded_run(
+                    self.params,
+                    self.obstacles,
+                    self.free_cells_inv,
+                    self.mesh,
+                    max_iters,
+                )
             self._iters = max_iters
         return self._run
 

@@ -49,6 +49,24 @@ def test_body_force_row_crosses_shards(eight_devices):
     np.testing.assert_array_equal(sharded.f, single.f)
 
 
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_fused_matches_single_device(eight_devices, n_shards):
+    """The fused (Pallas, interpret-mode) sharded path: local blocked
+    kernels + cross-shard ghost-slot exchange must match the plain path."""
+    params = dataclasses.replace(PARAMS, ny=32, nx=128, max_iters=12)
+    obstacles = channel_box(params.nx, params.ny, interior_row=13)
+    single = Simulator(params, obstacles, kernel="reference").run()
+    sharded = ShardedSimulator(
+        params,
+        obstacles,
+        mesh=default_mesh(n_shards),
+        kernel="fused",
+        interpret=True,
+    ).run()
+    np.testing.assert_allclose(sharded.f, single.f, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-4)
+
+
 def test_rejects_indivisible_grid(eight_devices):
     params = dataclasses.replace(PARAMS, ny=36)
     obstacles = channel_box(params.nx, params.ny)
