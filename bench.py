@@ -27,7 +27,7 @@ def main() -> int:
     sim.compiled()  # AOT compile outside the timed region
 
     best = None
-    for _ in range(2):
+    for _ in range(3):
         res = sim.run()
         if best is None or res.elapsed < best.elapsed:
             best = res

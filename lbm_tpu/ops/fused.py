@@ -60,13 +60,16 @@ _BLOCK_CELL_BUDGET = 64 * 1024
 class StepProgram:
     """A compiled-step protocol: scan carries an opaque state pytree.
 
-    ``init(f0) -> carry``; ``step(carry) -> (carry, av_vel)``;
-    ``final(carry) -> f``.
+    ``init(f0) -> carry``; ``step(carry) -> (carry, av)``;
+    ``final(carry) -> f``.  ``chunk`` is the number of timesteps one
+    ``step`` call advances (``av`` is a scalar when 1, else a [chunk]
+    vector); drivers must make the total step count a multiple of it.
     """
 
     init: Callable[[jax.Array], Any]
     step: Callable[[Any], tuple[Any, jax.Array]]
     final: Callable[[Any], jax.Array]
+    chunk: int = 1
 
     def single(self) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
         """Collapse to a plain ``f -> (f', av)`` one-step function."""
@@ -101,6 +104,67 @@ def _roll_x(plane: jax.Array, shift: int) -> jax.Array:
     return pltpu.roll(plane, shift % plane.shape[-1], 1)
 
 
+def _body_force_okf(
+    exts: list[jax.Array],
+    fluid_row: jax.Array,
+    row: int,
+    aw1: float,
+    aw2: float,
+    gate: jax.Array,
+) -> jax.Array:
+    """Reference accelerate_flow condition as a 0/1 row vector: fluid AND
+    all three west-side populations stay strictly positive after the kick
+    (``kernels.cl:29-33``)."""
+    f32 = jnp.float32
+    ok = (
+        fluid_row
+        & (exts[3][row, :] - f32(aw1) > f32(0.0))
+        & (exts[6][row, :] - f32(aw2) > f32(0.0))
+        & (exts[7][row, :] - f32(aw2) > f32(0.0))
+        & gate
+    )
+    return jnp.where(ok, f32(1.0), f32(0.0))
+
+
+_KICK = ((1, 1.0), (5, 1.0), (8, 1.0), (3, -1.0), (6, -1.0), (7, -1.0))
+
+
+def _collide(
+    tmp: list[jax.Array], fluid: jax.Array, omega: float
+) -> tuple[list[jax.Array], jax.Array]:
+    """BGK collision + bounce-back on streamed planes; returns
+    ``(out_planes, sum_of_|u|_over_fluid)``.
+
+    Opposite-speed pairs share e.m^2 terms: feq_{k,opp} = shared ± beta.
+    """
+    f32 = jnp.float32
+    rho = functools.reduce(jnp.add, tmp)
+    rho_inv = f32(1.0) / rho
+    mx = tmp[1] + tmp[5] + tmp[8] - tmp[3] - tmp[6] - tmp[7]
+    my = tmp[2] + tmp[5] + tmp[6] - tmp[4] - tmp[7] - tmp[8]
+    msq = mx * mx + my * my
+    half_icsq_rinv = f32(1.5) * rho_inv
+    om = f32(omega)
+
+    outs: list[jax.Array] = [None] * NSPEEDS
+
+    def emit(k: int, feq: jax.Array) -> None:
+        relaxed = tmp[k] + om * (feq - tmp[k])
+        outs[k] = jnp.where(fluid, relaxed, tmp[int(OPPOSITE[k])])
+
+    emit(0, f32(WEIGHTS[0]) * (rho - half_icsq_rinv * msq))
+    for a, b, eu in ((1, 3, mx), (2, 4, my), (5, 7, mx + my), (6, 8, my - mx)):
+        w = f32(WEIGHTS[a])
+        equ = f32(3.0) * eu
+        shared = w * (rho + half_icsq_rinv * (equ * eu - msq))
+        beta = w * equ
+        emit(a, shared + beta)
+        emit(b, shared - beta)
+
+    part = jnp.sum(jnp.where(fluid, jnp.sqrt(msq) * rho_inv, f32(0.0)))
+    return outs, part
+
+
 def _compute(
     exts: list[jax.Array],  # 9 x [BY+2, nx] extended row windows
     mask_ref,
@@ -121,15 +185,9 @@ def _compute(
     # Window row by-1 is global row ny-2 when `accelerate` is set; its
     # obstacle mask is center row by-2.
     fluid_row = mask_ref[by - 2, :] > f32(0.5)
-    ok = (
-        fluid_row
-        & (exts[3][by - 1, :] - f32(aw1) > f32(0.0))
-        & (exts[6][by - 1, :] - f32(aw2) > f32(0.0))
-        & (exts[7][by - 1, :] - f32(aw2) > f32(0.0))
-        & accelerate
-    )
-    okf = jnp.where(ok, f32(1.0), f32(0.0))
-    for k, s in ((1, aw1), (5, aw2), (8, aw2), (3, -aw1), (6, -aw2), (7, -aw2)):
+    okf = _body_force_okf(exts, fluid_row, by - 1, aw1, aw2, accelerate)
+    for k, sign in _KICK:
+        s = sign * (aw1 if k in (1, 3) else aw2)
         # Static-slice row update (scatter is not lowerable on TPU Pallas).
         kicked = exts[k][by - 1 : by, :] + (okf * f32(s))[None, :]
         exts[k] = jnp.concatenate(
@@ -143,43 +201,19 @@ def _compute(
         cy, cx = int(CY[k]), int(CX[k])
         tmp.append(_roll_x(exts[k][1 - cy : 1 - cy + by, :], cx))
 
-    # --- macroscopic moments (momentum form, one reciprocal per cell) ------
-    rho = functools.reduce(jnp.add, tmp)
-    rho_inv = f32(1.0) / rho
-    mx = tmp[1] + tmp[5] + tmp[8] - tmp[3] - tmp[6] - tmp[7]
-    my = tmp[2] + tmp[5] + tmp[6] - tmp[4] - tmp[7] - tmp[8]
-    msq = mx * mx + my * my
-
     fluid = mask_ref[...] > f32(0.5)
+    outs, part = _collide(tmp, fluid, omega)
 
-    # --- BGK collision + bounce-back scatter --------------------------------
-    # Opposite-speed pairs share e.m^2 terms: feq_{k,opp} = shared ± beta.
-    half_icsq_rinv = f32(1.5) * rho_inv
-    om = f32(omega)
-
-    def write(k: int, feq: jax.Array) -> None:
-        relaxed = tmp[k] + om * (feq - tmp[k])
-        res = jnp.where(fluid, relaxed, tmp[int(OPPOSITE[k])])
-        out_ref[k, :, :] = res
+    for k in range(NSPEEDS):
+        out_ref[k, :, :] = outs[k]
         if ghost_out is not None:
             gs_out, gn_out = ghost_out
             # This block's first post-collision row is the NORTH ghost of
             # the block below; its last row is the SOUTH ghost of the block
             # above (index maps route them to the right slots).
-            gn_out[0, k, :] = res[0, :]
-            gs_out[0, k, :] = res[by - 1, :]
+            gn_out[0, k, :] = outs[k][0, :]
+            gs_out[0, k, :] = outs[k][by - 1, :]
 
-    write(0, f32(WEIGHTS[0]) * (rho - half_icsq_rinv * msq))
-    for a, b, eu in ((1, 3, mx), (2, 4, my), (5, 7, mx + my), (6, 8, my - mx)):
-        w = f32(WEIGHTS[a])
-        equ = f32(3.0) * eu
-        shared = w * (rho + half_icsq_rinv * (equ * eu - msq))
-        beta = w * equ
-        write(a, shared + beta)
-        write(b, shared - beta)
-
-    # --- av_velocity partial reduction ---------------------------------------
-    part = jnp.sum(jnp.where(fluid, jnp.sqrt(msq) * rho_inv, f32(0.0)))
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -390,21 +424,141 @@ def build_fused_program(
     return StepProgram(init=init, step=step, final=lambda c: c[0])
 
 
+def _step_kernel_multi(
+    c_ref, mask_ref, out_ref, avs_ref, *, ny, nx, steps, omega, aw1, aw2
+):
+    """Whole-grid-in-VMEM, ``steps`` timesteps per kernel launch.
+
+    For grids whose 9 planes fit in VMEM the per-step cost is dominated by
+    pipeline/launch overhead (the physics is ~2 us at 128^2); running the
+    time loop *inside* the kernel with the state held in registers/VMEM
+    amortizes it.  This is the TPU analog of the reference's REDUCE_FREQ
+    batching idea (``d2q9-bgk.c:230-233``) taken to its limit: per-step
+    mean speeds are spilled to an SMEM vector, f touches HBM once per
+    ``steps`` timesteps.
+    """
+    f32 = jnp.float32
+    fluid = mask_ref[...] > f32(0.5)
+    fluid_row = mask_ref[ny - 2, :] > f32(0.5)
+
+    def body(t, f):
+        planes = [f[k] for k in range(NSPEEDS)]
+        okf = _body_force_okf(
+            planes, fluid_row, ny - 2, aw1, aw2, jnp.bool_(True)
+        )
+        for k, sign in _KICK:
+            s = sign * (aw1 if k in (1, 3) else aw2)
+            kicked = planes[k][ny - 2 : ny - 1, :] + (okf * f32(s))[None, :]
+            planes[k] = jnp.concatenate(
+                [planes[k][: ny - 2, :], kicked, planes[k][ny - 1 :, :]], axis=0
+            )
+        tmp = []
+        for k in range(NSPEEDS):
+            cy, cx = int(CY[k]), int(CX[k])
+            p = planes[k]
+            if cy:
+                p = pltpu.roll(p, cy % ny, 0)
+            if cx:
+                p = pltpu.roll(p, cx % nx, 1)
+            tmp.append(p)
+        outs, part = _collide(tmp, fluid, omega)
+        avs_ref[t, 0] = part
+        return jnp.stack(outs)
+
+    out_ref[...] = jax.lax.fori_loop(0, steps, body, c_ref[...])
+
+
+def build_multi_step_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    steps: int,
+    *,
+    interpret: bool = False,
+) -> StepProgram:
+    """Whole-grid multi-step program (``chunk == steps``)."""
+    ny, nx = params.ny, params.nx
+    aw1, aw2 = accel_weights(params)
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+    fcinv = np.float32(free_cells_inv)
+    call = pl.pallas_call(
+        functools.partial(
+            _step_kernel_multi,
+            ny=ny,
+            nx=nx,
+            steps=steps,
+            omega=float(np.float32(params.omega)),
+            aw1=float(aw1),
+            aw2=float(aw2),
+        ),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(
+                (NSPEEDS, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((ny, nx), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (NSPEEDS, ny, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((steps, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NSPEEDS, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((steps, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(ny * nx * 110 * steps),
+            bytes_accessed=int(2 * NSPEEDS * ny * nx * 4),
+            transcendentals=int(ny * nx * steps),
+        ),
+        interpret=interpret,
+    )
+
+    def step(f):
+        f_new, avs = call(f, jnp.asarray(fluid_host))
+        return f_new, avs[:, 0] * fcinv
+
+    return StepProgram(
+        init=lambda f: f, step=step, final=lambda f: f, chunk=steps
+    )
+
+
+def pick_chunk(max_iters: int, limit: int = 256) -> int:
+    """Largest divisor of ``max_iters`` not exceeding ``limit``."""
+    for c in range(min(limit, max_iters), 0, -1):
+        if max_iters % c == 0:
+            return c
+    return 1
+
+
 def make_fused_program(
     params: LBMParams,
     obstacles: np.ndarray,
     free_cells_inv: np.float32,
     *,
     interpret: bool = False,
+    max_iters: int | None = None,
 ) -> StepProgram:
     """Fused-kernel step program, falling back to the jnp reference path
-    when the grid doesn't admit a valid row-block decomposition."""
+    when the grid doesn't admit a valid row-block decomposition.
+
+    With ``max_iters`` given and a whole-grid-in-VMEM case, returns a
+    multi-step (chunked) program whose chunk divides ``max_iters``.
+    """
     by = choose_block_rows(params.ny, params.nx)
     if by is None:
         from lbm_tpu.ops.reference import make_step_fn
 
         step = make_step_fn(params, obstacles, free_cells_inv)
         return StepProgram(init=lambda f: f, step=step, final=lambda f: f)
+    if by == params.ny and max_iters is not None and max_iters > 1:
+        chunk = pick_chunk(max_iters)
+        if chunk > 1:
+            return build_multi_step_program(
+                params, obstacles, free_cells_inv, chunk, interpret=interpret
+            )
     return build_fused_program(
         params, obstacles, free_cells_inv, by, interpret=interpret
     )

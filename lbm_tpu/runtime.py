@@ -55,18 +55,22 @@ def make_program(
     obstacles: np.ndarray,
     free_cells_inv: np.float32,
     kernel: str = "auto",
+    max_iters: int | None = None,
 ):
     """Step-program factory.  ``kernel``: 'auto' | 'fused' | 'reference'.
 
     Returns a :class:`lbm_tpu.ops.fused.StepProgram` whose scan carry may
-    hold extra state (e.g. the fused kernel's ghost-row buffers).
+    hold extra state (e.g. the fused kernel's ghost-row buffers) and whose
+    ``chunk`` may exceed 1 (multi-step kernels; requires ``max_iters``).
     """
     from lbm_tpu.ops.fused import StepProgram, make_fused_program
 
     if kernel == "auto":
         kernel = "fused" if jax.default_backend() == "tpu" else "reference"
     if kernel == "fused":
-        return make_fused_program(params, obstacles, free_cells_inv)
+        return make_fused_program(
+            params, obstacles, free_cells_inv, max_iters=max_iters
+        )
     if kernel == "reference":
         step = make_step_fn(params, obstacles, free_cells_inv)
         return StepProgram(init=lambda f: f, step=step, final=lambda f: f)
@@ -139,7 +143,14 @@ class Simulator:
     # -- compiled program ---------------------------------------------------
 
     def _build(self, max_iters: int):
-        program = self._program
+        program = make_program(
+            self.params,
+            self.obstacles,
+            self.free_cells_inv,
+            self.kernel,
+            max_iters=max_iters,
+        )
+        assert max_iters % program.chunk == 0
 
         def body(carry, _):
             carry, av = program.step(carry)
@@ -148,8 +159,10 @@ class Simulator:
         @functools.partial(jax.jit, donate_argnums=0)
         def run_scan(f0):
             carry, av = jax.lax.scan(
-                body, program.init(f0), None, length=max_iters
+                body, program.init(f0), None, length=max_iters // program.chunk
             )
+            if self._collect and program.chunk > 1:
+                av = av.reshape(max_iters)
             return program.final(carry), av
 
         return run_scan

@@ -77,6 +77,44 @@ def test_ghost_roundtrip_carry():
         np.testing.assert_allclose(float(av_ref), float(av_fus), rtol=1e-5)
 
 
+def test_multi_step_kernel():
+    """Whole-grid multi-step kernel (time loop inside the kernel) matches
+    the per-step jnp path, including the per-step av series."""
+    from lbm_tpu.ops.fused import build_multi_step_program
+
+    params = LBMParams(128, 16, 8, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(128, 16, interior_row=9)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    program = build_multi_step_program(params, obstacles, fcinv, 4, interpret=True)
+    assert program.chunk == 4
+    step = jax.jit(program.step)
+
+    f_ref = g = init_cells(params)
+    avs_ref = []
+    for _ in range(8):
+        f_ref, av = ref(f_ref)
+        avs_ref.append(float(av))
+    g, avs1 = step(g)
+    g, avs2 = step(g)
+    avs = np.concatenate([np.asarray(avs1), np.asarray(avs2)])
+    np.testing.assert_allclose(
+        np.asarray(f_ref), np.asarray(g), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(avs, np.asarray(avs_ref), rtol=1e-5)
+
+
+def test_pick_chunk():
+    from lbm_tpu.ops.fused import pick_chunk
+
+    assert pick_chunk(40000) == 250
+    assert pick_chunk(20000) == 250
+    assert pick_chunk(80000) == 250
+    assert pick_chunk(7) == 7
+    assert pick_chunk(1) == 1
+    assert pick_chunk(997) == 1  # prime > limit
+
+
 def test_choose_block_rows():
     assert choose_block_rows(1024, 1024) == 64
     assert choose_block_rows(256, 256) == 256  # whole grid in one program
