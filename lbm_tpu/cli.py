@@ -20,12 +20,9 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import pathlib
 import resource
 import sys
-
-import numpy as np
 
 from lbm_tpu.config import LBMParams
 from lbm_tpu.geometry import load_obstacle_file
@@ -66,13 +63,21 @@ def cmd_run(args: argparse.Namespace) -> int:
         device=select_device(args.device),
     )
     sim.compiled()  # JIT outside the timed region, like clBuildProgram
+
+    def go():
+        if args.checkpoint_dir:
+            return sim.run_checkpointed(
+                args.checkpoint_dir, every=args.checkpoint_every
+            )
+        return sim.run()
+
     if args.profile:
         import jax
 
         with jax.profiler.trace(args.profile):
-            res = sim.run()
+            res = go()
     else:
-        res = sim.run()
+        res = go()
     _epilogue(res)
     outdir = pathlib.Path(args.output_dir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -135,6 +140,10 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--max-iters", type=int, default=None)
     run.add_argument("--profile", default=None, metavar="TRACE_DIR",
                      help="write a jax.profiler trace")
+    run.add_argument("--checkpoint-dir", default=None,
+                     help="snapshot resumable state here (and resume from it)")
+    run.add_argument("--checkpoint-every", type=int, default=10000,
+                     metavar="STEPS")
     run.set_defaults(func=cmd_run)
 
     bench = sub.add_parser("bench", help="timed run, JSON metric output")

@@ -21,7 +21,7 @@ import dataclasses
 import functools
 import os
 import time
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -138,7 +138,7 @@ class Simulator:
             params, obstacles, self.free_cells_inv, kernel
         )
         self._collect = collect_av_vels
-        self._compiled = None
+        self._compiled: dict[int, Any] = {}
 
     # -- compiled program ---------------------------------------------------
 
@@ -176,14 +176,13 @@ class Simulator:
         """
         if max_iters is None:
             max_iters = self.params.max_iters
-        if self._compiled is None or self._compiled[0] != max_iters:
+        if max_iters not in self._compiled:
             fn = self._build(max_iters)
             spec = jax.ShapeDtypeStruct(
                 (9, self.params.ny, self.params.nx), jnp.float32
             )
-            executable = fn.lower(spec).compile()
-            self._compiled = (max_iters, executable)
-        return self._compiled[1]
+            self._compiled[max_iters] = fn.lower(spec).compile()
+        return self._compiled[max_iters]
 
     def initial_state(self) -> jax.Array:
         return jax.device_put(init_cells(self.params), self.device)
@@ -224,6 +223,77 @@ class Simulator:
             params=run_params,
             f=f_host,
             av_vels=av_host,
+            obstacles=self.obstacles,
+            free_cells_inv=float(self.free_cells_inv),
+            elapsed=toc - tic,
+        )
+
+    def run_checkpointed(
+        self,
+        checkpoint_dir: str,
+        every: int,
+        max_iters: int | None = None,
+        resume: bool = True,
+    ) -> RunResult:
+        """Run in ``every``-step segments, snapshotting resumable state
+        (f, step index, av_vels so far) after each segment; picks up from
+        an existing checkpoint in ``checkpoint_dir`` when ``resume``.
+
+        The reference has no restart capability (SURVEY §5.4) — a crashed
+        80k-step run starts over; this closes that gap.
+        """
+        from lbm_tpu import checkpoint as ckpt
+
+        if max_iters is None:
+            max_iters = self.params.max_iters
+        if every <= 0:
+            raise ValueError(f"checkpoint interval must be positive: {every}")
+
+        start = 0
+        av_parts: list[np.ndarray] = []
+        f = None
+        if resume:
+            loaded = ckpt.load(checkpoint_dir)
+            if loaded is not None:
+                loaded.validate(self.params, self.obstacles)
+                if loaded.step > max_iters:
+                    raise ValueError(
+                        f"checkpoint at step {loaded.step} is beyond "
+                        f"max_iters={max_iters}"
+                    )
+                start = loaded.step
+                av_parts.append(np.asarray(loaded.av_vels))
+                f = loaded.f
+
+        tic = time.perf_counter()
+        step = start
+        while step < max_iters:
+            seg = min(every, max_iters - step)
+            res = self.run(max_iters=seg, f0=f)
+            f = res.f
+            av_parts.append(res.av_vels)
+            step += seg
+            ckpt.save(
+                checkpoint_dir,
+                self.params,
+                self.obstacles,
+                step,
+                f,
+                np.concatenate(av_parts) if av_parts else np.zeros(0),
+            )
+        toc = time.perf_counter()
+
+        if f is None:  # zero remaining work and nothing checkpointed
+            return self.run(max_iters=0)
+        av = (
+            np.concatenate(av_parts)
+            if av_parts
+            else np.zeros(0, dtype=np.float32)
+        )
+        return RunResult(
+            params=dataclasses.replace(self.params, max_iters=max_iters),
+            f=np.asarray(f),
+            av_vels=av,
             obstacles=self.obstacles,
             free_cells_inv=float(self.free_cells_inv),
             elapsed=toc - tic,

@@ -1,0 +1,65 @@
+"""Checkpoint/resume: segmented runs must reproduce a continuous run."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from lbm_tpu import checkpoint as ckpt
+from lbm_tpu.config import LBMParams
+from lbm_tpu.geometry import channel_box
+from lbm_tpu.runtime import Simulator
+
+PARAMS = LBMParams(64, 32, 30, 10, 0.1, 0.005, 1.85)
+
+
+def make_sim():
+    return Simulator(PARAMS, channel_box(64, 32), kernel="reference")
+
+
+def test_segmented_equals_continuous(tmp_path):
+    cont = make_sim().run()
+    seg = make_sim().run_checkpointed(tmp_path, every=7)
+    np.testing.assert_array_equal(cont.f, seg.f)
+    np.testing.assert_array_equal(cont.av_vels, seg.av_vels)
+    saved = ckpt.load(tmp_path)
+    assert saved.step == 30
+
+
+def test_resume_from_partial(tmp_path):
+    """Simulate a crash after 2 segments, resume, and match continuous."""
+    sim = make_sim()
+    sim.run_checkpointed(tmp_path, every=8, max_iters=16)  # "crashes" at 16
+    assert ckpt.load(tmp_path).step == 16
+    res = make_sim().run_checkpointed(tmp_path, every=8)  # resumes to 30
+    cont = make_sim().run()
+    np.testing.assert_array_equal(cont.f, res.f)
+    np.testing.assert_array_equal(cont.av_vels, res.av_vels)
+    assert ckpt.load(tmp_path).step == 30
+
+
+def test_resume_rejects_wrong_mask(tmp_path):
+    make_sim().run_checkpointed(tmp_path, every=10, max_iters=10)
+    other = Simulator(
+        PARAMS, channel_box(64, 32, interior_row=15), kernel="reference"
+    )
+    with pytest.raises(ValueError, match="mask"):
+        other.run_checkpointed(tmp_path, every=10)
+
+
+def test_resume_rejects_wrong_grid(tmp_path):
+    make_sim().run_checkpointed(tmp_path, every=10, max_iters=10)
+    params2 = dataclasses.replace(PARAMS, nx=128)
+    other = Simulator(params2, channel_box(128, 32), kernel="reference")
+    with pytest.raises(ValueError, match="grid"):
+        other.run_checkpointed(tmp_path, every=10)
+
+
+def test_checkpoint_beyond_max_iters(tmp_path):
+    make_sim().run_checkpointed(tmp_path, every=10, max_iters=20)
+    with pytest.raises(ValueError, match="beyond"):
+        make_sim().run_checkpointed(tmp_path, every=10, max_iters=10)
+
+
+def test_load_missing_returns_none(tmp_path):
+    assert ckpt.load(tmp_path) is None
