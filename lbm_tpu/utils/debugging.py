@@ -24,7 +24,7 @@ from lbm_tpu.diagnostics import total_density
 @contextlib.contextmanager
 def nan_guard():
     """Raise on NaN production inside the scope (FP-trap analog)."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", True)
     try:
         yield
