@@ -525,6 +525,243 @@ def build_multi_step_program(
     )
 
 
+def _step_kernel_temporal(
+    c_ref,  # [9, BY, nx]       center rows at time t
+    gs_ref,  # [1, K, 9, nx]    rows [R0-K, R0) at time t
+    gn_ref,  # [1, K, 9, nx]    rows [R0+BY, R0+BY+K) at time t
+    maskext_ref,  # [1, BY+2K, nx]  fluid mask of the whole window
+    out_ref,  # [9, BY, nx]     center rows at time t+K
+    gs_out,  # [1, K, 9, nx]    ghosts for program (i+1)%P
+    gn_out,  # [1, K, 9, nx]    ghosts for program (i-1)%P
+    avs_ref,  # [K, 1] SMEM     per-internal-step av partial sums
+    *,
+    by: int,
+    ksteps: int,
+    ny: int,
+    nx: int,
+    omega: float,
+    aw1: float,
+    aw2: float,
+):
+    """Trapezoidal temporal blocking: advance the window ``ksteps`` times.
+
+    The window [R0-K, R0+BY+K) shrinks by one valid row per side per
+    internal step; after K steps exactly the center [R0, R0+BY) is valid.
+    HBM traffic per timestep drops by ~K/(1 + K/BY) versus the single-step
+    kernel (the reference's REDUCE_FREQ amortization idea applied to the
+    whole stencil, not just the reduction).
+
+    Body-force rows: global row ny-2 appears at ext index BY+K-2 in the
+    last program's window AND (K >= 2) at ext index K-2 in program 0's
+    south halo; both applications are gated on the program id.  Kicking a
+    row that has already left the valid region is a no-op (never read).
+    Each program accumulates the av contribution of its own center rows at
+    every internal step, summed across programs in SMEM.
+    """
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+    byext = by + 2 * ksteps
+    fluid = maskext_ref[0, :, :] > f32(0.5)
+
+    planes = [
+        jnp.concatenate(
+            [gs_ref[0, :, k, :], c_ref[k, :, :], gn_ref[0, :, k, :]], axis=0
+        )
+        for k in range(NSPEEDS)
+    ]
+
+    def kick_row(planes, row: int, gate):
+        okf = _body_force_okf(
+            planes, fluid[row, :], row, aw1, aw2, gate
+        )
+        out = []
+        for k in range(NSPEEDS):
+            s = dict(_KICK).get(k)
+            if s is None:
+                out.append(planes[k])
+                continue
+            sv = s * (aw1 if k in (1, 3) else aw2)
+            kicked = planes[k][row : row + 1, :] + (okf * f32(sv))[None, :]
+            out.append(
+                jnp.concatenate(
+                    [planes[k][:row, :], kicked, planes[k][row + 1 :, :]],
+                    axis=0,
+                )
+            )
+        return out
+
+    def body(s, f):
+        planes = [f[k] for k in range(NSPEEDS)]
+        planes = kick_row(planes, by + ksteps - 2, i == last)
+        planes = kick_row(planes, ksteps - 2, i == 0)
+        tmp = []
+        for k in range(NSPEEDS):
+            cy, cx = int(CY[k]), int(CX[k])
+            p = planes[k]
+            if cy:
+                # Edge rows wrap garbage into garbage: they leave the valid
+                # region this step anyway.
+                p = pltpu.roll(p, cy % byext, 0)
+            if cx:
+                p = pltpu.roll(p, cx % nx, 1)
+            tmp.append(p)
+        outs, _ = _collide(tmp, fluid, omega)
+
+        # av over OWNED rows only (the center), valid at every step.
+        rho = functools.reduce(
+            jnp.add, [t[ksteps : ksteps + by, :] for t in tmp]
+        )
+        mxc = (
+            tmp[1][ksteps : ksteps + by, :]
+            + tmp[5][ksteps : ksteps + by, :]
+            + tmp[8][ksteps : ksteps + by, :]
+            - tmp[3][ksteps : ksteps + by, :]
+            - tmp[6][ksteps : ksteps + by, :]
+            - tmp[7][ksteps : ksteps + by, :]
+        )
+        myc = (
+            tmp[2][ksteps : ksteps + by, :]
+            + tmp[5][ksteps : ksteps + by, :]
+            + tmp[6][ksteps : ksteps + by, :]
+            - tmp[4][ksteps : ksteps + by, :]
+            - tmp[7][ksteps : ksteps + by, :]
+            - tmp[8][ksteps : ksteps + by, :]
+        )
+        part = jnp.sum(
+            jnp.where(
+                fluid[ksteps : ksteps + by, :],
+                jnp.sqrt(mxc * mxc + myc * myc) / rho,
+                f32(0.0),
+            )
+        )
+
+        @pl.when(i == 0)
+        def _():
+            avs_ref[s, 0] = part
+
+        @pl.when(i > 0)
+        def _():
+            avs_ref[s, 0] += part
+
+        return jnp.stack(outs)
+
+    final = jax.lax.fori_loop(
+        0, ksteps, body, jnp.stack(planes)
+    )
+    for k in range(NSPEEDS):
+        out_ref[k, :, :] = final[k, ksteps : ksteps + by, :]
+        gn_out[0, :, k, :] = final[k, ksteps : 2 * ksteps, :]
+        gs_out[0, :, k, :] = final[k, by : by + ksteps, :]
+
+
+def build_temporal_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    by: int,
+    ksteps: int,
+    *,
+    interpret: bool = False,
+) -> StepProgram:
+    """Temporal-blocked program (``chunk == ksteps``) for row-blocked grids."""
+    ny, nx = params.ny, params.nx
+    grid = ny // by
+    if grid < 2:
+        raise ValueError("temporal blocking needs >= 2 row blocks")
+    # K <= BY-2 keeps the body-force row ny-2 out of every window except
+    # the last program's interior and program 0's south halo (the two
+    # gated kick sites); a larger K would let it enter program last-1's
+    # north halo un-kicked and contaminate that block's output.
+    if not 2 <= ksteps <= by - 2:
+        raise ValueError(f"need 2 <= K <= BY-2, got K={ksteps}, BY={by}")
+    aw1, aw2 = accel_weights(params)
+    fcinv = np.float32(free_cells_inv)
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+    # Per-program extended fluid mask (static): rows [R0-K, R0+BY+K) mod ny.
+    maskext_host = np.stack(
+        [
+            fluid_host[
+                np.arange(i * by - ksteps, i * by + by + ksteps) % ny, :
+            ]
+            for i in range(grid)
+        ]
+    )
+    south_rows = [np.arange(i * by - ksteps, i * by) % ny for i in range(grid)]
+    north_rows = [
+        np.arange(i * by + by, i * by + by + ksteps) % ny for i in range(grid)
+    ]
+
+    center_spec = pl.BlockSpec(
+        (NSPEEDS, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    ghost_in_spec = pl.BlockSpec(
+        (1, ksteps, NSPEEDS, nx), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    gn_out_spec = pl.BlockSpec(
+        (1, ksteps, NSPEEDS, nx),
+        lambda i: ((i - 1) % grid, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gs_out_spec = pl.BlockSpec(
+        (1, ksteps, NSPEEDS, nx),
+        lambda i: ((i + 1) % grid, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    maskext_spec = pl.BlockSpec(
+        (1, by + 2 * ksteps, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    ghost_shape = jax.ShapeDtypeStruct((grid, ksteps, NSPEEDS, nx), jnp.float32)
+
+    call = pl.pallas_call(
+        functools.partial(
+            _step_kernel_temporal,
+            by=by,
+            ksteps=ksteps,
+            ny=ny,
+            nx=nx,
+            omega=float(np.float32(params.omega)),
+            aw1=float(aw1),
+            aw2=float(aw2),
+        ),
+        grid=(grid,),
+        in_specs=[center_spec, ghost_in_spec, ghost_in_spec, maskext_spec],
+        out_specs=[center_spec, gs_out_spec, gn_out_spec,
+                   pl.BlockSpec((ksteps, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((NSPEEDS, ny, nx), jnp.float32),
+            ghost_shape,
+            ghost_shape,
+            jax.ShapeDtypeStruct((ksteps, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(ny * nx * 110 * ksteps),
+            bytes_accessed=int((2 * NSPEEDS + 1) * ny * nx * 4),
+            transcendentals=int(ny * nx * ksteps),
+        ),
+        interpret=interpret,
+    )
+
+    def init(f):
+        gs = jnp.stack(
+            [jnp.transpose(f[:, rows, :], (1, 0, 2)) for rows in south_rows]
+        )
+        gn = jnp.stack(
+            [jnp.transpose(f[:, rows, :], (1, 0, 2)) for rows in north_rows]
+        )
+        return (f, gs, gn)
+
+    def step(carry):
+        f, gs, gn = carry
+        f_new, gs_new, gn_new, avs = call(f, gs, gn, jnp.asarray(maskext_host))
+        return (f_new, gs_new, gn_new), avs[:, 0] * fcinv
+
+    return StepProgram(
+        init=init, step=step, final=lambda c: c[0], chunk=ksteps
+    )
+
+
 def pick_chunk(max_iters: int, limit: int = 256) -> int:
     """Largest divisor of ``max_iters`` not exceeding ``limit``."""
     for c in range(min(limit, max_iters), 0, -1):
@@ -559,6 +796,17 @@ def make_fused_program(
             return build_multi_step_program(
                 params, obstacles, free_cells_inv, chunk, interpret=interpret
             )
+    if by < params.ny and max_iters is not None:
+        for ksteps in (8, 4, 2):
+            if max_iters % ksteps == 0 and ksteps <= by - 2:
+                return build_temporal_program(
+                    params,
+                    obstacles,
+                    free_cells_inv,
+                    by,
+                    ksteps,
+                    interpret=interpret,
+                )
     return build_fused_program(
         params, obstacles, free_cells_inv, by, interpret=interpret
     )

@@ -104,6 +104,68 @@ def test_multi_step_kernel():
     np.testing.assert_allclose(avs, np.asarray(avs_ref), rtol=1e-5)
 
 
+def test_temporal_blocking():
+    """Trapezoidal K-steps-per-launch blocked kernel vs the jnp path,
+    including av series, body-force rows in both gated windows, and an
+    interior wall crossing block boundaries."""
+    from lbm_tpu.ops.fused import build_temporal_program
+
+    params = LBMParams(128, 16, 8, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(128, 16, interior_row=9)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    program = build_temporal_program(
+        params, obstacles, fcinv, by=4, ksteps=2, interpret=True
+    )
+    assert program.chunk == 2
+    step = jax.jit(program.step)
+
+    f_ref = init_cells(params)
+    carry = program.init(f_ref)
+    avs_ref, avs_fus = [], []
+    for _ in range(4):
+        carry, avs = step(carry)
+        avs_fus.append(np.asarray(avs))
+    for _ in range(8):
+        f_ref, av = ref(f_ref)
+        avs_ref.append(float(av))
+    np.testing.assert_allclose(
+        np.asarray(f_ref),
+        np.asarray(program.final(carry)),
+        rtol=1e-6,
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.concatenate(avs_fus), np.asarray(avs_ref), rtol=1e-5
+    )
+
+
+def test_temporal_blocking_k4():
+    """Deeper time blocks (K=4 on BY=8) still match."""
+    from lbm_tpu.ops.fused import build_temporal_program
+
+    params = LBMParams(128, 16, 8, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(128, 16)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    program = build_temporal_program(
+        params, obstacles, fcinv, by=8, ksteps=4, interpret=True
+    )
+    step = jax.jit(program.step)
+    f_ref = init_cells(params)
+    carry = program.init(f_ref)
+    for _ in range(2):
+        carry, _ = step(carry)
+    for _ in range(8):
+        f_ref, _ = ref(f_ref)
+    np.testing.assert_allclose(
+        np.asarray(f_ref),
+        np.asarray(program.final(carry)),
+        rtol=1e-6,
+        atol=1e-9,
+    )
+
+
 def test_pick_chunk():
     from lbm_tpu.ops.fused import pick_chunk
 
