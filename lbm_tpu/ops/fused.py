@@ -762,6 +762,29 @@ def build_temporal_program(
     )
 
 
+# Empirical VMEM budget for the temporal kernel's (BY+2K)-row working set
+# (fori_loop carry + stream/collide temporaries): cells per window.
+_TEMPORAL_WINDOW_BUDGET = 80 * 1024
+
+
+def choose_temporal(ny: int, nx: int, max_iters: int) -> tuple[int, int] | None:
+    """Pick (BY, K) for the temporal kernel: prefer deep time blocks, keep
+    the (BY+2K)-row window within the VMEM budget, K | max_iters, K <= BY-2,
+    and BY a power-of-two divisor of ny with >= 2 blocks."""
+    by_max = choose_block_rows(ny, nx)
+    if by_max is None or by_max >= ny:
+        return None
+    for ksteps in (8, 4, 2):
+        if max_iters % ksteps != 0:
+            continue
+        by = by_max
+        while by >= 4 and (by + 2 * ksteps) * nx > _TEMPORAL_WINDOW_BUDGET:
+            by //= 2
+        if by >= 4 and ksteps <= by - 2 and ny % by == 0 and ny // by >= 2:
+            return by, ksteps
+    return None
+
+
 def pick_chunk(max_iters: int, limit: int = 256) -> int:
     """Largest divisor of ``max_iters`` not exceeding ``limit``."""
     for c in range(min(limit, max_iters), 0, -1):
@@ -797,16 +820,17 @@ def make_fused_program(
                 params, obstacles, free_cells_inv, chunk, interpret=interpret
             )
     if by < params.ny and max_iters is not None:
-        for ksteps in (8, 4, 2):
-            if max_iters % ksteps == 0 and ksteps <= by - 2:
-                return build_temporal_program(
-                    params,
-                    obstacles,
-                    free_cells_inv,
-                    by,
-                    ksteps,
-                    interpret=interpret,
-                )
+        picked = choose_temporal(params.ny, params.nx, max_iters)
+        if picked is not None:
+            t_by, ksteps = picked
+            return build_temporal_program(
+                params,
+                obstacles,
+                free_cells_inv,
+                t_by,
+                ksteps,
+                interpret=interpret,
+            )
     return build_fused_program(
         params, obstacles, free_cells_inv, by, interpret=interpret
     )

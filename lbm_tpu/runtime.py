@@ -142,13 +142,15 @@ class Simulator:
 
     # -- compiled program ---------------------------------------------------
 
-    def _build(self, max_iters: int):
+    def _build(self, max_iters: int, fallback_level: int = 0):
+        """fallback_level: 0 = chunked/temporal kernels allowed, 1 =
+        single-step fused only, 2 = jnp reference path."""
         program = make_program(
             self.params,
             self.obstacles,
             self.free_cells_inv,
-            self.kernel,
-            max_iters=max_iters,
+            "reference" if fallback_level >= 2 else self.kernel,
+            max_iters=max_iters if fallback_level == 0 else None,
         )
         assert max_iters % program.chunk == 0
 
@@ -177,11 +179,21 @@ class Simulator:
         if max_iters is None:
             max_iters = self.params.max_iters
         if max_iters not in self._compiled:
-            fn = self._build(max_iters)
             spec = jax.ShapeDtypeStruct(
                 (9, self.params.ny, self.params.nx), jnp.float32
             )
-            self._compiled[max_iters] = fn.lower(spec).compile()
+            last_err = None
+            for level in range(3):
+                try:
+                    fn = self._build(max_iters, fallback_level=level)
+                    self._compiled[max_iters] = fn.lower(spec).compile()
+                    break
+                except jax.errors.JaxRuntimeError as e:
+                    # e.g. a temporal/multi-step variant exceeding VMEM on
+                    # this grid; retry with a more conservative kernel.
+                    last_err = e
+            else:
+                raise last_err
         return self._compiled[max_iters]
 
     def initial_state(self) -> jax.Array:
