@@ -32,6 +32,14 @@ Design (TPU-first, not a translation):
   workgroup-tree + batched ``reduce`` kernel (``kernels.cl:234-290``).
 * BGK equilibrium computed per opposite-speed pair (shared e·m² terms:
   ``feq_{k,opp} = shared ± beta``), halving the collision flops.
+* Every kernel updates ``f`` **in place** (``input_output_aliases={0: 0}``):
+  with halo rows supplied by the carried ghost state, each f row is read
+  only by the program that rewrites it, so no double buffer is needed.
+  This removes the per-step whole-array defensive copy XLA otherwise
+  inserts around the custom call inside ``lax.scan`` (measured: the copy
+  cost as much as the kernel at 1024², and ~5x at 4096²).  The reference
+  needs its cells/tmp_cells ping-pong (``d2q9-bgk.c:214-237``) precisely
+  because its kernel re-reads neighbor rows from the same global array.
 """
 
 from __future__ import annotations
@@ -347,6 +355,7 @@ def build_blocked_kernel(
             bytes_accessed=int((2 * NSPEEDS + 1) * ny * nx * 4),
             transcendentals=int(ny * nx),
         ),
+        input_output_aliases={0: 0},
         interpret=interpret,
     )
 
@@ -394,6 +403,7 @@ def build_fused_program(
             out_specs=[center_spec, tot_spec],
             out_shape=[f_shape, tot_shape],
             cost_estimate=cost,
+            input_output_aliases={0: 0},
             interpret=interpret,
         )
 
@@ -513,6 +523,7 @@ def build_multi_step_program(
             bytes_accessed=int(2 * NSPEEDS * ny * nx * 4),
             transcendentals=int(ny * nx * steps),
         ),
+        input_output_aliases={0: 0},
         interpret=interpret,
     )
 
@@ -740,6 +751,7 @@ def build_temporal_program(
             bytes_accessed=int((2 * NSPEEDS + 1) * ny * nx * 4),
             transcendentals=int(ny * nx * ksteps),
         ),
+        input_output_aliases={0: 0},
         interpret=interpret,
     )
 
