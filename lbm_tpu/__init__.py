@@ -20,6 +20,7 @@ from lbm_tpu.geometry import (
     write_obstacle_file,
 )
 from lbm_tpu.io import read_av_vels, write_av_vels, write_final_state
+from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
 from lbm_tpu.runtime import RunResult, Simulator, select_device
 
 __version__ = "0.1.0"
@@ -28,11 +29,13 @@ __all__ = [
     "CANONICAL_PARAMS",
     "LBMParams",
     "RunResult",
+    "ShardedSimulator",
     "Simulator",
     "av_velocity",
     "calc_reynolds",
     "canonical_obstacles",
     "channel_box",
+    "default_mesh",
     "free_cells_of",
     "load_obstacle_file",
     "read_av_vels",

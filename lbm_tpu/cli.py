@@ -56,6 +56,8 @@ def cmd_run(args: argparse.Namespace) -> int:
         import dataclasses
 
         params = dataclasses.replace(params, max_iters=args.max_iters)
+    if args.shards and args.shards > 1:
+        return _run_sharded(args, params, obstacles)
     sim = Simulator(
         params,
         obstacles,
@@ -78,6 +80,23 @@ def cmd_run(args: argparse.Namespace) -> int:
             res = go()
     else:
         res = go()
+    _epilogue(res)
+    outdir = pathlib.Path(args.output_dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    write_final_state(outdir / "final_state.dat", params, res.f, obstacles)
+    write_av_vels(outdir / "av_vels.dat", res.av_vels)
+    return 0
+
+
+def _run_sharded(args, params, obstacles) -> int:
+    """Multi-device run over a 1-D mesh (``--shards N``)."""
+    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+
+    sim = ShardedSimulator(
+        params, obstacles, mesh=default_mesh(args.shards), kernel=args.kernel
+    )
+    sim.compiled()
+    res = sim.run()
     _epilogue(res)
     outdir = pathlib.Path(args.output_dir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -144,6 +163,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="snapshot resumable state here (and resume from it)")
     run.add_argument("--checkpoint-every", type=int, default=10000,
                      metavar="STEPS")
+    run.add_argument("--shards", type=int, default=1,
+                     help="row-shard over N devices (1-D mesh)")
     run.set_defaults(func=cmd_run)
 
     bench = sub.add_parser("bench", help="timed run, JSON metric output")

@@ -276,13 +276,18 @@ class ShardedRunResult:
     elapsed: float
     n_shards: int
 
-    mlups = property(
-        lambda self: self.params.nx
-        * self.params.ny
-        * self.params.max_iters
-        / self.elapsed
-        / 1e6
-    )
+    @property
+    def mlups(self) -> float:
+        cells = self.params.nx * self.params.ny * self.params.max_iters
+        return cells / self.elapsed / 1e6 if self.elapsed > 0 else float("inf")
+
+    @property
+    def reynolds(self) -> float:
+        from lbm_tpu import diagnostics
+
+        return diagnostics.calc_reynolds(
+            self.params, self.f, self.obstacles, self.free_cells_inv
+        )
 
 
 class ShardedSimulator:

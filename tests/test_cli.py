@@ -91,6 +91,37 @@ def test_bench_json_line(small_case, capsys):
     assert payload["value"] > 0
 
 
+def test_run_sharded_flag(small_case, capsys):
+    """--shards N drives the multi-device path end-to-end from the CLI."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    rc = cli.main(
+        [
+            "run",
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case / "sharded"),
+            "--shards",
+            "4",
+            "--max-iters",
+            "50",
+        ]
+    )
+    assert rc == 0
+    assert "==done==" in capsys.readouterr().out
+    assert (small_case / "sharded" / "av_vels.dat").exists()
+
+
+def test_select_device_out_of_range(monkeypatch):
+    from lbm_tpu.runtime import select_device
+
+    with pytest.raises(ValueError, match="out of range"):
+        select_device("99")
+
+
 def test_checker_rejects_mismatched_steps(tmp_path):
     a = tmp_path / "a.dat"
     b = tmp_path / "b.dat"
