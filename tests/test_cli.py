@@ -115,6 +115,55 @@ def test_run_sharded_flag(small_case, capsys):
     assert (small_case / "sharded" / "av_vels.dat").exists()
 
 
+def test_check_subcommand(small_case, reference_dir, capsys):
+    """The `lbm check` subcommand drives the full checker protocol."""
+    cli.main(
+        [
+            "run",
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case),
+        ]
+    )
+    capsys.readouterr()
+    # Self-comparison must pass trivially and exercise the CLI wiring.
+    rc = cli.main(
+        [
+            "check",
+            "--ref-av-vels-file",
+            str(small_case / "av_vels.dat"),
+            "--ref-final-state-file",
+            str(small_case / "final_state.dat"),
+            "--av-vels-file",
+            str(small_case / "av_vels.dat"),
+            "--final-state-file",
+            str(small_case / "final_state.dat"),
+        ]
+    )
+    assert rc == 0
+    assert "Both tests passed!" in capsys.readouterr().out
+
+
+def test_no_av_collection():
+    """collect_av_vels=False still produces the correct final state."""
+    import dataclasses
+
+    from lbm_tpu.config import CANONICAL_PARAMS
+    from lbm_tpu.geometry import canonical_obstacles
+    from lbm_tpu.runtime import Simulator
+
+    params = dataclasses.replace(CANONICAL_PARAMS["128x128"], max_iters=20)
+    obs = canonical_obstacles("128x128")
+    with_av = Simulator(params, obs, kernel="reference").run()
+    without = Simulator(
+        params, obs, kernel="reference", collect_av_vels=False
+    ).run()
+    # XLA fuses differently without the av output -> ~1 ulp FMA deltas.
+    np.testing.assert_allclose(with_av.f, without.f, rtol=1e-6, atol=1e-9)
+    assert (without.av_vels == 0).all()
+
+
 def test_select_device_out_of_range(monkeypatch):
     from lbm_tpu.runtime import select_device
 
