@@ -162,6 +162,104 @@ def make_sharded_run(
     return run
 
 
+AXIS_X = "x"
+
+
+def default_mesh_2d(py: int, px: int) -> Mesh:
+    """2-D mesh (rows x cols) over the first py*px devices."""
+    devs = np.array(jax.devices()[: py * px]).reshape(py, px)
+    return Mesh(devs, (AXIS, AXIS_X))
+
+
+def make_sharded_2d_run(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    mesh: Mesh,
+    max_iters: int | None = None,
+) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
+    """2-D spatial decomposition: grid tiles sharded over a (y, x) mesh.
+
+    Halo exchange is the classic two-phase scheme: rows first (one
+    ``ppermute`` each way over the ``y`` ring), then columns of the
+    row-extended slab (one ``ppermute`` each way over the ``x`` ring) —
+    the column phase carries the corner cells the diagonal speeds need.
+    Streaming then becomes pure static slices of the (nyl+2, nxl+2)
+    extended tile; the av reduction is a ``psum`` over both axes.
+    """
+    if max_iters is None:
+        max_iters = params.max_iters
+    py, px = mesh.shape[AXIS], mesh.shape[AXIS_X]
+    ny, nx = params.ny, params.nx
+    if ny % py != 0 or nx % px != 0:
+        raise ValueError(f"grid {ny}x{nx} not divisible by mesh {py}x{px}")
+    nyl, nxl = ny // py, nx // px
+    if nyl < 3 or nxl < 2:
+        raise ValueError(f"tiles too thin: {nyl}x{nxl} (need >=3 rows, >=2 cols)")
+    omega = np.float32(params.omega)
+    w1, w2 = accel_weights(params)
+    fcinv = np.float32(free_cells_inv)
+    fluid_global = jnp.asarray(~np.asarray(obstacles, dtype=bool))
+    ring_y = [(i, (i + 1) % py) for i in range(py)]
+    ring_y_up = [(i, (i - 1) % py) for i in range(py)]
+    ring_x = [(i, (i + 1) % px) for i in range(px)]
+    ring_x_up = [(i, (i - 1) % px) for i in range(px)]
+
+    def local_run(f_loc: jax.Array, fluid_loc: jax.Array):
+        yshard = jax.lax.axis_index(AXIS)
+        row0 = yshard * nyl
+        local_rows = jax.lax.broadcasted_iota(jnp.int32, (nyl, 1), 0)
+        row_is_kick = (local_rows + row0) == (ny - 2)
+
+        def exchange(f):
+            gs = f[:, -1:, :] if py == 1 else jax.lax.ppermute(
+                f[:, -1:, :], AXIS, ring_y
+            )
+            gn = f[:, :1, :] if py == 1 else jax.lax.ppermute(
+                f[:, :1, :], AXIS, ring_y_up
+            )
+            ext_y = jnp.concatenate([gs, f, gn], axis=1)
+            gw = ext_y[:, :, -1:] if px == 1 else jax.lax.ppermute(
+                ext_y[:, :, -1:], AXIS_X, ring_x
+            )
+            ge = ext_y[:, :, :1] if px == 1 else jax.lax.ppermute(
+                ext_y[:, :, :1], AXIS_X, ring_x_up
+            )
+            return jnp.concatenate([gw, ext_y, ge], axis=2)
+
+        def body(f, _):
+            f = _accelerate_masked(f, fluid_loc, row_is_kick, w1, w2)
+            ext = exchange(f)
+            tmp = jnp.stack(
+                [
+                    ext[
+                        k,
+                        1 - int(CY[k]) : 1 - int(CY[k]) + nyl,
+                        1 - int(CX[k]) : 1 - int(CX[k]) + nxl,
+                    ]
+                    for k in range(NSPEEDS)
+                ]
+            )
+            f_new, tot_u = collide(tmp, fluid_loc, omega)
+            av = jax.lax.psum(tot_u, (AXIS, AXIS_X)) * fcinv
+            return f_new, av
+
+        return jax.lax.scan(body, f_loc, None, length=max_iters)
+
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, AXIS_X), P(AXIS, AXIS_X)),
+        out_specs=(P(None, AXIS, AXIS_X), P()),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(f_global: jax.Array):
+        return sharded(f_global, fluid_global)
+
+    return run
+
+
 def make_sharded_fused_run(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -323,7 +421,17 @@ class ShardedSimulator:
         if max_iters is None:
             max_iters = self.params.max_iters
         if self._run is None or self._iters != max_iters:
-            if self.kernel == "fused":
+            if AXIS_X in self.mesh.shape:
+                # 2-D decomposition currently uses the jnp step (the fused
+                # kernel's ghost carry is 1-D; x-halos ride ppermute).
+                self._run = make_sharded_2d_run(
+                    self.params,
+                    self.obstacles,
+                    self.free_cells_inv,
+                    self.mesh,
+                    max_iters,
+                )
+            elif self.kernel == "fused":
                 self._run = make_sharded_fused_run(
                     self.params,
                     self.obstacles,
@@ -347,7 +455,10 @@ class ShardedSimulator:
         if max_iters is None:
             max_iters = self.params.max_iters
         fn = self.compiled(max_iters)
-        sharding = NamedSharding(self.mesh, P(None, AXIS, None))
+        if AXIS_X in self.mesh.shape:
+            sharding = NamedSharding(self.mesh, P(None, AXIS, AXIS_X))
+        else:
+            sharding = NamedSharding(self.mesh, P(None, AXIS, None))
         tic = time.perf_counter()
         f0 = jax.device_put(init_cells(self.params), sharding)
         f_fin, av = fn(f0)

@@ -67,6 +67,35 @@ def test_sharded_fused_matches_single_device(eight_devices, n_shards):
     np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-4)
 
 
+@pytest.mark.parametrize("py,px", [(2, 4), (4, 2), (1, 4), (8, 1)])
+def test_sharded_2d_matches_single_device(eight_devices, py, px):
+    """2-D (rows x cols) decomposition with two-phase halo exchange."""
+    from lbm_tpu.parallel.sharded import default_mesh_2d
+
+    params = dataclasses.replace(PARAMS, ny=32, nx=64, max_iters=15)
+    obstacles = channel_box(params.nx, params.ny, interior_row=13)
+    single = Simulator(params, obstacles, kernel="reference").run()
+    sharded = ShardedSimulator(
+        params, obstacles, mesh=default_mesh_2d(py, px)
+    ).run()
+    np.testing.assert_array_equal(sharded.f, single.f)
+    np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-5)
+
+
+def test_sharded_2d_interior_column(eight_devices):
+    """A vertical wall (the 1024x1024 case's x=341 analog) crossing x-shard
+    boundaries bounces back identically."""
+    from lbm_tpu.parallel.sharded import default_mesh_2d
+
+    params = dataclasses.replace(PARAMS, ny=16, nx=64, max_iters=12)
+    obstacles = channel_box(params.nx, params.ny, interior_col=33)
+    single = Simulator(params, obstacles, kernel="reference").run()
+    sharded = ShardedSimulator(
+        params, obstacles, mesh=default_mesh_2d(2, 4)
+    ).run()
+    np.testing.assert_array_equal(sharded.f, single.f)
+
+
 def test_rejects_indivisible_grid(eight_devices):
     params = dataclasses.replace(PARAMS, ny=36)
     obstacles = channel_box(params.nx, params.ny)
