@@ -45,9 +45,16 @@ def _epilogue(res: RunResult) -> None:
     print(f"Elapsed user CPU time:\t\t{usage.ru_utime:.6f} (s)")
     print(f"Elapsed system CPU time:\t{usage.ru_stime:.6f} (s)")
     # Perf readout (beyond the reference: MLUPS + effective HBM traffic).
-    traffic_gb = 19 * 4 * res.params.nx * res.params.ny * res.params.max_iters / 1e9
-    print(f"MLUPS:\t\t\t\t{res.mlups:.1f}")
-    print(f"Effective bandwidth:\t\t{traffic_gb / res.elapsed:.1f} GB/s")
+    from lbm_tpu.utils.profiling import PerfReport
+
+    report = PerfReport(
+        nx=res.params.nx,
+        ny=res.params.ny,
+        steps=res.params.max_iters,
+        elapsed=res.elapsed,
+    )
+    print(f"MLUPS:\t\t\t\t{report.mlups:.1f}")
+    print(f"Effective bandwidth:\t\t{report.effective_bandwidth_gbs:.1f} GB/s")
 
 
 def cmd_run(args: argparse.Namespace) -> int:

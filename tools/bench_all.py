@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Run every canonical case full-length and print a results table.
+
+The programmatic analog of the reference report's benchmark tables
+(`report.odt`): per-case wall time, MLUPS, speedup vs the reference's
+published Tesla K20m numbers, checker deviation vs goldens (when the
+reference checkout is available), and the Reynolds invariant.
+
+Usage: python tools/bench_all.py [--repeats N] [--markdown]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from lbm_tpu.config import CANONICAL_PARAMS
+from lbm_tpu.geometry import canonical_obstacles
+from lbm_tpu.runtime import Simulator
+
+# Reference OpenCL-GPU results (Tesla K20m, report.odt / BASELINE.md).
+REFERENCE_SECONDS = {
+    "128x128": 0.684,
+    "128x256": 1.203,
+    "256x256": 4.012,
+    "1024x1024": 11.69,
+}
+GOLDEN_DIR = pathlib.Path("/root/reference/check")
+
+
+def bench_case(case: str, repeats: int) -> dict:
+    params = CANONICAL_PARAMS[case]
+    sim = Simulator(params, canonical_obstacles(case))
+    sim.compiled()
+    best = None
+    for _ in range(repeats):
+        res = sim.run()
+        if best is None or res.elapsed < best.elapsed:
+            best = res
+    row = {
+        "case": case,
+        "iters": params.max_iters,
+        "seconds": best.elapsed,
+        "mlups": best.mlups,
+        "speedup": REFERENCE_SECONDS[case] / best.elapsed,
+        "reynolds": best.reynolds,
+        "max_diff_pct": float("nan"),
+    }
+    golden_path = GOLDEN_DIR / f"{case}.av_vels.dat"
+    if golden_path.exists():
+        golden = np.loadtxt(golden_path, usecols=[1])
+        row["max_diff_pct"] = float(
+            (np.abs((golden - best.av_vels) / golden) * 100).max()
+        )
+    return row
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--markdown", action="store_true")
+    args = parser.parse_args(argv)
+
+    rows = [bench_case(case, args.repeats) for case in REFERENCE_SECONDS]
+    if args.markdown:
+        print("| Case | iters | seconds | MLUPS | vs K20m | max diff | Re |")
+        print("|---|---|---|---|---|---|---|")
+        for r in rows:
+            print(
+                f"| {r['case']} | {r['iters']} | {r['seconds']:.3f} "
+                f"| {r['mlups']:.0f} | {r['speedup']:.1f}x "
+                f"| {r['max_diff_pct']:.4f}% | {r['reynolds']:.4f} |"
+            )
+    else:
+        for r in rows:
+            print(
+                f"{r['case']:>10}: {r['seconds']:7.3f}s {r['mlups']:7.0f} MLUPS "
+                f"{r['speedup']:5.1f}x vs ref; diff {r['max_diff_pct']:.4f}%; "
+                f"Re {r['reynolds']:.4f}"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
