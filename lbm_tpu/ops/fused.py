@@ -543,6 +543,9 @@ def _step_kernel_temporal(
     gs_ref,  # [1, K, 9, nx]    rows [R0-K, R0) at time t
     gn_ref,  # [1, K, 9, nx]    rows [R0+BY, R0+BY+K) at time t
     maskext_ref,  # [1, BY+2K, nx]  fluid mask of the whole window
+    gate_ref,  # [1, 2] SMEM int32: body-force gates for the interior site
+    #            (last program, this device owns row ny-2) and the
+    #            south-wrap site (program 0; 1 on single chip / device 0)
     out_ref,  # [9, BY, nx]     center rows at time t+K
     gs_out,  # [1, K, 9, nx]    ghosts for program (i+1)%P
     gn_out,  # [1, K, 9, nx]    ghosts for program (i-1)%P
@@ -606,8 +609,12 @@ def _step_kernel_temporal(
 
     def body(s, f):
         planes = [f[k] for k in range(NSPEEDS)]
-        planes = kick_row(planes, by + ksteps - 2, i == last)
-        planes = kick_row(planes, ksteps - 2, i == 0)
+        planes = kick_row(
+            planes, by + ksteps - 2, (i == last) & (gate_ref[0, 0] > 0)
+        )
+        planes = kick_row(
+            planes, ksteps - 2, (i == 0) & (gate_ref[0, 1] > 0)
+        )
         tmp = []
         for k in range(NSPEEDS):
             cy, cx = int(CY[k]), int(CX[k])
@@ -704,7 +711,56 @@ def build_temporal_program(
     north_rows = [
         np.arange(i * by + by, i * by + by + ksteps) % ny for i in range(grid)
     ]
+    call = build_temporal_kernel(
+        ny,
+        nx,
+        by,
+        ksteps,
+        float(np.float32(params.omega)),
+        float(aw1),
+        float(aw2),
+        interpret=interpret,
+    )
+    gates = np.ones((1, 2), dtype=np.int32)  # single chip: both kick sites
 
+    def init(f):
+        gs = jnp.stack(
+            [jnp.transpose(f[:, rows, :], (1, 0, 2)) for rows in south_rows]
+        )
+        gn = jnp.stack(
+            [jnp.transpose(f[:, rows, :], (1, 0, 2)) for rows in north_rows]
+        )
+        return (f, gs, gn)
+
+    def step(carry):
+        f, gs, gn = carry
+        f_new, gs_new, gn_new, avs = call(
+            f, gs, gn, jnp.asarray(maskext_host), jnp.asarray(gates)
+        )
+        return (f_new, gs_new, gn_new), avs[:, 0] * fcinv
+
+    return StepProgram(
+        init=init, step=step, final=lambda c: c[0], chunk=ksteps
+    )
+
+
+def build_temporal_kernel(
+    ny: int,
+    nx: int,
+    by: int,
+    ksteps: int,
+    omega: float,
+    aw1: float,
+    aw2: float,
+    *,
+    interpret: bool = False,
+):
+    """Raw temporal pallas_call:
+    ``call(f, gs, gn, maskext, gates) -> (f', gs', gn', avs)`` with ghost
+    slabs [P, K, 9, nx], per-program extended masks [P, BY+2K, nx] and
+    int32 gates [1, 2] = (interior kick site on, south-wrap kick site on).
+    ``ny``/``nx`` are the *local* slab dims when used per-shard."""
+    grid = ny // by
     center_spec = pl.BlockSpec(
         (NSPEEDS, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
@@ -724,21 +780,28 @@ def build_temporal_program(
     maskext_spec = pl.BlockSpec(
         (1, by + 2 * ksteps, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    gate_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
     ghost_shape = jax.ShapeDtypeStruct((grid, ksteps, NSPEEDS, nx), jnp.float32)
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _step_kernel_temporal,
             by=by,
             ksteps=ksteps,
             ny=ny,
             nx=nx,
-            omega=float(np.float32(params.omega)),
-            aw1=float(aw1),
-            aw2=float(aw2),
+            omega=omega,
+            aw1=aw1,
+            aw2=aw2,
         ),
         grid=(grid,),
-        in_specs=[center_spec, ghost_in_spec, ghost_in_spec, maskext_spec],
+        in_specs=[
+            center_spec,
+            ghost_in_spec,
+            ghost_in_spec,
+            maskext_spec,
+            gate_spec,
+        ],
         out_specs=[center_spec, gs_out_spec, gn_out_spec,
                    pl.BlockSpec((ksteps, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)],
@@ -755,24 +818,6 @@ def build_temporal_program(
         ),
         input_output_aliases={0: 0},
         interpret=interpret,
-    )
-
-    def init(f):
-        gs = jnp.stack(
-            [jnp.transpose(f[:, rows, :], (1, 0, 2)) for rows in south_rows]
-        )
-        gn = jnp.stack(
-            [jnp.transpose(f[:, rows, :], (1, 0, 2)) for rows in north_rows]
-        )
-        return (f, gs, gn)
-
-    def step(carry):
-        f, gs, gn = carry
-        f_new, gs_new, gn_new, avs = call(f, gs, gn, jnp.asarray(maskext_host))
-        return (f_new, gs_new, gn_new), avs[:, 0] * fcinv
-
-    return StepProgram(
-        init=init, step=step, final=lambda c: c[0], chunk=ksteps
     )
 
 

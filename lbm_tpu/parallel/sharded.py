@@ -364,6 +364,136 @@ def make_sharded_fused_run(
     return run
 
 
+def make_sharded_temporal_run(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    mesh: Mesh,
+    max_iters: int | None = None,
+    *,
+    by: int | None = None,
+    ksteps: int | None = None,
+    interpret: bool = False,
+) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]] | None:
+    """Temporal blocking composed with row sharding: each shard advances K
+    timesteps per kernel launch, and the cross-shard ghost exchange moves
+    one K-row slab each way every K steps — the same ICI byte volume as
+    per-step exchange, with K× fewer messages (latency amortized).
+
+    Returns None when the local slab admits no valid (BY, K) split.
+    Body-force sites: global row ny-2 sits in the last shard's interior
+    window and (via periodic wrap) in shard 0's south halo; each shard
+    passes gates for the two in-kernel kick sites.  Containment needs
+    K <= BY-2 <= ny_loc-2, which keeps the row out of every other shard's
+    window (same algebra as the single-chip case with ny_loc in place of
+    ny).
+    """
+    from lbm_tpu.ops.fused import build_temporal_kernel, choose_temporal
+
+    if max_iters is None:
+        max_iters = params.max_iters
+    n_shards = mesh.shape[AXIS]
+    ny, nx = params.ny, params.nx
+    if ny % n_shards != 0:
+        return None
+    ny_loc = ny // n_shards
+    if by is None or ksteps is None:
+        picked = choose_temporal(ny_loc, nx, max_iters)
+        if picked is None:
+            return None
+        by, ksteps = picked
+    if max_iters % ksteps != 0 or not 2 <= ksteps <= by - 2:
+        return None
+    p_loc = ny_loc // by
+    w1, w2 = accel_weights(params)
+    fcinv = np.float32(free_cells_inv)
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+    # Global per-(shard, program) extended masks, sharded on dim 0.
+    maskext_host = np.stack(
+        [
+            fluid_host[
+                np.arange(
+                    d * ny_loc + i * by - ksteps,
+                    d * ny_loc + i * by + by + ksteps,
+                )
+                % ny,
+                :,
+            ]
+            for d in range(n_shards)
+            for i in range(p_loc)
+        ]
+    )  # [n_shards * p_loc, by+2K, nx]
+    call = build_temporal_kernel(
+        ny_loc,
+        nx,
+        by,
+        ksteps,
+        float(np.float32(params.omega)),
+        float(w1),
+        float(w2),
+        interpret=interpret,
+    )
+    down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    south_rows = [
+        np.arange(i * by - ksteps, i * by) % ny_loc for i in range(p_loc)
+    ]
+    north_rows = [
+        np.arange(i * by + by, i * by + by + ksteps) % ny_loc
+        for i in range(p_loc)
+    ]
+
+    def local_run(f_loc: jax.Array, maskext_loc: jax.Array):
+        shard = jax.lax.axis_index(AXIS)
+        gates = jnp.stack(
+            [
+                (shard == n_shards - 1).astype(jnp.int32),
+                (shard == 0).astype(jnp.int32),
+            ]
+        ).reshape(1, 2)
+
+        def patch(gs, gn):
+            if n_shards == 1:
+                return gs, gn
+            recv_s = jax.lax.ppermute(gs[0], AXIS, down)
+            recv_n = jax.lax.ppermute(gn[p_loc - 1], AXIS, up)
+            gs = jnp.concatenate([recv_s[None], gs[1:]], axis=0)
+            gn = jnp.concatenate([gn[: p_loc - 1], recv_n[None]], axis=0)
+            return gs, gn
+
+        def body(carry, _):
+            f, gs, gn = carry
+            gs, gn = patch(gs, gn)
+            f2, gs2, gn2, avs = call(f, gs, gn, maskext_loc, gates)
+            av = jax.lax.psum(avs[:, 0] * fcinv, AXIS)
+            return (f2, gs2, gn2), av
+
+        gs0 = jnp.stack(
+            [jnp.transpose(f_loc[:, rows, :], (1, 0, 2)) for rows in south_rows]
+        )
+        gn0 = jnp.stack(
+            [jnp.transpose(f_loc[:, rows, :], (1, 0, 2)) for rows in north_rows]
+        )
+        (f_fin, _, _), avs = jax.lax.scan(
+            body, (f_loc, gs0, gn0), None, length=max_iters // ksteps
+        )
+        return f_fin, avs.reshape(max_iters)
+
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(AXIS, None, None)),
+        out_specs=(P(None, AXIS, None), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(f_global: jax.Array):
+        return sharded(f_global, jnp.asarray(maskext_host))
+
+    return run
+
+
 @dataclasses.dataclass
 class ShardedRunResult:
     params: LBMParams
@@ -431,8 +561,8 @@ class ShardedSimulator:
                     self.mesh,
                     max_iters,
                 )
-            elif self.kernel == "fused":
-                self._run = make_sharded_fused_run(
+            elif self.kernel in ("fused", "temporal"):
+                self._run = make_sharded_temporal_run(
                     self.params,
                     self.obstacles,
                     self.free_cells_inv,
@@ -440,6 +570,20 @@ class ShardedSimulator:
                     max_iters,
                     interpret=self.interpret,
                 )
+                if self._run is None:
+                    if self.kernel == "temporal":
+                        raise ValueError(
+                            "no valid temporal (BY, K) split for this "
+                            "grid/mesh/max_iters"
+                        )
+                    self._run = make_sharded_fused_run(
+                        self.params,
+                        self.obstacles,
+                        self.free_cells_inv,
+                        self.mesh,
+                        max_iters,
+                        interpret=self.interpret,
+                    )
             else:
                 self._run = make_sharded_run(
                     self.params,

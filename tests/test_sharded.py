@@ -67,6 +67,39 @@ def test_sharded_fused_matches_single_device(eight_devices, n_shards):
     np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-4)
 
 
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_temporal_matches_single_device(eight_devices, n_shards):
+    """Temporal blocking composed with sharding: K-row slab exchange every
+    K steps must reproduce the per-step path exactly."""
+    import jax.numpy as jnp
+
+    from lbm_tpu.parallel.sharded import make_sharded_temporal_run
+    from lbm_tpu.ops.reference import init_cells
+
+    params = dataclasses.replace(PARAMS, ny=64, nx=128, max_iters=12)
+    obstacles = channel_box(params.nx, params.ny, interior_row=29)
+    single = Simulator(params, obstacles, kernel="reference").run()
+
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    run = make_sharded_temporal_run(
+        params,
+        obstacles,
+        fcinv,
+        default_mesh(n_shards),
+        by=8,
+        ksteps=2,
+        interpret=True,
+    )
+    assert run is not None
+    f_fin, avs = run(init_cells(params))
+    np.testing.assert_allclose(
+        np.asarray(f_fin), single.f, rtol=1e-5, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(avs), single.av_vels, rtol=1e-4
+    )
+
+
 @pytest.mark.parametrize("py,px", [(2, 4), (4, 2), (1, 4), (8, 1)])
 def test_sharded_2d_matches_single_device(eight_devices, py, px):
     """2-D (rows x cols) decomposition with two-phase halo exchange."""
