@@ -134,9 +134,6 @@ class Simulator:
         self.free_cells_inv = np.float32(1.0) / np.float32(self.free_cells)
         self.device = device if device is not None else select_device()
         self.kernel = kernel
-        self._program = make_program(
-            params, obstacles, self.free_cells_inv, kernel
-        )
         self._collect = collect_av_vels
         self._compiled: dict[int, Any] = {}
 
@@ -201,7 +198,9 @@ class Simulator:
 
     def step_fn(self) -> StepFn:
         """The raw (unjitted) single-step function, for composition/tests."""
-        return self._program.single()
+        return make_program(
+            self.params, self.obstacles, self.free_cells_inv, self.kernel
+        ).single()
 
     # -- driver ---------------------------------------------------------------
 
