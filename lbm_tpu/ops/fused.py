@@ -58,10 +58,13 @@ from lbm_tpu.config import LBMParams
 from lbm_tpu.ops.lattice import CX, CY, NSPEEDS, OPPOSITE, WEIGHTS
 from lbm_tpu.ops.reference import accel_weights
 
-# Budget for cells per (9-plane) row block: 64k cells -> 2.25 MiB per f
-# block; with double-buffered in+out blocks and temporaries this stays
-# within the ~16 MiB VMEM of a TPU core.
-_BLOCK_CELL_BUDGET = 64 * 1024
+# Mosaic's default scoped-VMEM limit is 16 MiB, far below the v5e's
+# physical VMEM; all kernels raise it (measured: BY=128 row blocks and
+# 48-row temporal windows compile and run faster once unlocked).
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+# Budget for cells per (9-plane) row block (with the raised VMEM limit).
+_BLOCK_CELL_BUDGET = 128 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -357,6 +360,9 @@ def build_blocked_kernel(
             bytes_accessed=int((2 * NSPEEDS + 1) * ny * nx * 4),
             transcendentals=int(ny * nx),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         input_output_aliases={0: 0},
         interpret=interpret,
     )
@@ -405,6 +411,9 @@ def build_fused_program(
             out_specs=[center_spec, tot_spec],
             out_shape=[f_shape, tot_shape],
             cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES
+            ),
             input_output_aliases={0: 0},
             interpret=interpret,
         )
@@ -524,6 +533,9 @@ def build_multi_step_program(
             flops=int(ny * nx * 110 * steps),
             bytes_accessed=int(2 * NSPEEDS * ny * nx * 4),
             transcendentals=int(ny * nx * steps),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         input_output_aliases={0: 0},
         interpret=interpret,
@@ -816,14 +828,18 @@ def build_temporal_kernel(
             bytes_accessed=int((2 * NSPEEDS + 1) * ny * nx * 4),
             transcendentals=int(ny * nx * ksteps),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
         input_output_aliases={0: 0},
         interpret=interpret,
     )
 
 
 # Empirical VMEM budget for the temporal kernel's (BY+2K)-row working set
-# (fori_loop carry + stream/collide temporaries): cells per window.
-_TEMPORAL_WINDOW_BUDGET = 80 * 1024
+# (fori_loop carry + stream/collide temporaries): cells per window, with
+# the raised VMEM limit.  (32+16)x4096 and (128+16)x1024 both fit.
+_TEMPORAL_WINDOW_BUDGET = 192 * 1024
 
 
 def choose_temporal(ny: int, nx: int, max_iters: int) -> tuple[int, int] | None:
@@ -833,9 +849,9 @@ def choose_temporal(ny: int, nx: int, max_iters: int) -> tuple[int, int] | None:
     by_max = choose_block_rows(ny, nx)
     if by_max is None or by_max >= ny:
         return None
-    # K=4 measured marginally faster than K=8 at 1024^2 (74.9 vs 76.5 us)
-    # with half the ghost state; deeper blocks lose to halo recompute.
-    for ksteps in (4, 8, 2):
+    # With the raised VMEM limit, deep blocks on wide BY win: (128, 8) at
+    # 1024^2 measured 71.3 us/step vs 74.9 for (64, 4).
+    for ksteps in (8, 4, 2):
         if max_iters % ksteps != 0:
             continue
         by = by_max

@@ -178,11 +178,19 @@ def test_pick_chunk():
 
 
 def test_choose_block_rows():
-    assert choose_block_rows(1024, 1024) == 64
+    assert choose_block_rows(1024, 1024) == 128
     assert choose_block_rows(256, 256) == 256  # whole grid in one program
     assert choose_block_rows(128, 128) == 128
     assert choose_block_rows(256, 128) == 256
     assert choose_block_rows(7, 96) is None  # no power-of-two split
+
+
+def test_choose_temporal():
+    from lbm_tpu.ops.fused import choose_temporal
+
+    assert choose_temporal(1024, 1024, 20000) == (128, 8)
+    assert choose_temporal(4096, 4096, 2000) == (32, 8)
+    assert choose_temporal(256, 256, 1000) is None  # whole grid -> multi-step
 
 
 def test_fallback_on_odd_grid():
