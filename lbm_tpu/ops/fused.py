@@ -66,6 +66,10 @@ _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 # Budget for cells per (9-plane) row block (with the raised VMEM limit).
 _BLOCK_CELL_BUDGET = 128 * 1024
 
+# Grids up to this many cells run the whole-grid multi-step kernel (f plus
+# ~2x temporaries resident in VMEM for N timesteps per launch).
+_MULTISTEP_CELL_BUDGET = 256 * 1024
+
 
 @dataclasses.dataclass(frozen=True)
 class StepProgram:
@@ -890,7 +894,11 @@ def make_fused_program(
 
         step = make_step_fn(params, obstacles, free_cells_inv)
         return StepProgram(init=lambda f: f, step=step, final=lambda f: f)
-    if by == params.ny and max_iters is not None and max_iters > 1:
+    if (
+        params.ny * params.nx <= _MULTISTEP_CELL_BUDGET
+        and max_iters is not None
+        and max_iters > 1
+    ):
         chunk = pick_chunk(max_iters)
         if chunk > 1:
             return build_multi_step_program(
