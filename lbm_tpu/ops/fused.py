@@ -11,8 +11,9 @@ Design (TPU-first, not a translation):
 * ``f[9, ny, nx]`` float32 — 9-plane SoA, (sublane, lane) = (y, x).  ``nx``
   on lanes keeps every op a full-width VPU op; periodic wrap in x is a lane
   rotate (``pltpu.roll``), free of memory traffic.
-* Grids whose 9 planes fit in VMEM (<= 64k cells) run as ONE program whose
-  block is the whole array; periodic wrap in y is an in-register row concat.
+* Grids whose 9 planes fit in VMEM (<= 256k cells) run whole-grid: either
+  ONE program per step (wrap in y is an in-register row concat) or, given
+  ``max_iters``, the multi-step kernel advancing N timesteps per launch.
 * Larger grids walk row-blocks of ``BY`` rows.  The two wrap/halo rows each
   program needs are **carried through the time loop as a ghost-row state**
   ``(ghost_s, ghost_n)[P, 9, nx]`` that the kernel itself emits as extra
