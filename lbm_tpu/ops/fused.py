@@ -491,7 +491,18 @@ def _step_kernel_multi(
         avs_ref[t, 0] = part
         return jnp.stack(outs)
 
-    out_ref[...] = jax.lax.fori_loop(0, steps, body, c_ref[...])
+    # Partially unrolled time loop: Mosaic pipelines across unrolled steps
+    # (full unroll of hundreds of steps would blow up compile time).
+    unroll = 8
+    while steps % unroll:
+        unroll //= 2
+
+    def outer(t8, f):
+        for j in range(unroll):
+            f = body(t8 * unroll + j, f)
+        return f
+
+    out_ref[...] = jax.lax.fori_loop(0, steps // unroll, outer, c_ref[...])
 
 
 def build_multi_step_program(
@@ -683,9 +694,12 @@ def _step_kernel_temporal(
 
         return jnp.stack(outs)
 
-    final = jax.lax.fori_loop(
-        0, ksteps, body, jnp.stack(planes)
-    )
+    # Unrolled internal time loop (K is small and static): Mosaic pipelines
+    # across the unrolled steps — measured 73.9 -> 56.7 us/step at 1024^2
+    # (BY=128, K=8) versus a fori_loop.
+    final = jnp.stack(planes)
+    for s in range(ksteps):
+        final = body(s, final)
     for k in range(NSPEEDS):
         out_ref[k, :, :] = final[k, ksteps : ksteps + by, :]
         gn_out[0, :, k, :] = final[k, ksteps : 2 * ksteps, :]

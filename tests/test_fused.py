@@ -132,7 +132,7 @@ def test_temporal_blocking():
     np.testing.assert_allclose(
         np.asarray(f_ref),
         np.asarray(program.final(carry)),
-        rtol=1e-6,
+        rtol=1e-5,
         atol=1e-9,
     )
     np.testing.assert_allclose(
@@ -161,7 +161,7 @@ def test_temporal_blocking_k4():
     np.testing.assert_allclose(
         np.asarray(f_ref),
         np.asarray(program.final(carry)),
-        rtol=1e-6,
+        rtol=1e-5,
         atol=1e-9,
     )
 
