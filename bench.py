@@ -26,8 +26,10 @@ def main() -> int:
     sim = Simulator(params, obstacles, kernel="auto")
     sim.compiled()  # AOT compile outside the timed region
 
+    # Best-of-4: the first execution after a fresh process can be inflated
+    # by transport warmup on tunneled devices.
     best = None
-    for _ in range(3):
+    for _ in range(4):
         res = sim.run()
         if best is None or res.elapsed < best.elapsed:
             best = res
