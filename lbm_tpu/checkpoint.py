@@ -41,6 +41,15 @@ class Checkpoint:
             raise ValueError(
                 f"checkpoint grid {self.params.shape} != run grid {params.shape}"
             )
+        # Physics must match too, or a resume silently splices two different
+        # simulations into one trajectory (max_iters/reynolds_dim may differ:
+        # they don't enter the dynamics).
+        for field in ("density", "accel", "omega"):
+            stored, now = getattr(self.params, field), getattr(params, field)
+            if stored != now:
+                raise ValueError(
+                    f"checkpoint {field}={stored} != this run's {field}={now}"
+                )
         if _mask_digest(obstacles) != self.mask_digest:
             raise ValueError("checkpoint obstacle mask differs from this run's")
 

@@ -136,6 +136,7 @@ class Simulator:
         self.kernel = kernel
         self._collect = collect_av_vels
         self._compiled: dict[int, Any] = {}
+        self._chunks: dict[int, int] = {}
 
     # -- compiled program ---------------------------------------------------
 
@@ -150,6 +151,7 @@ class Simulator:
             max_iters=max_iters if fallback_level == 0 else None,
         )
         assert max_iters % program.chunk == 0
+        self._chunks[max_iters] = program.chunk
 
         def body(carry, _):
             carry, av = program.step(carry)
@@ -176,8 +178,13 @@ class Simulator:
         if max_iters is None:
             max_iters = self.params.max_iters
         if max_iters not in self._compiled:
+            # Bind the target device at lowering time; otherwise the
+            # executable is pinned to the default device and a non-default
+            # LBM_DEVICE/--device run fails with a sharding mismatch.
             spec = jax.ShapeDtypeStruct(
-                (9, self.params.ny, self.params.nx), jnp.float32
+                (9, self.params.ny, self.params.nx),
+                jnp.float32,
+                sharding=jax.sharding.SingleDeviceSharding(self.device),
             )
             last_err = None
             for level in range(3):
@@ -192,6 +199,14 @@ class Simulator:
             else:
                 raise last_err
         return self._compiled[max_iters]
+
+    def chunk(self, max_iters: int | None = None) -> int:
+        """Timesteps per kernel pass of the compiled program (1 = the
+        single-step kernel; K for multi-step/temporal variants).  Used for
+        variant-aware bandwidth accounting in perf reports."""
+        if max_iters is None:
+            max_iters = self.params.max_iters
+        return self._chunks.get(max_iters, 1)
 
     def initial_state(self) -> jax.Array:
         return jax.device_put(init_cells(self.params), self.device)
@@ -275,6 +290,16 @@ class Simulator:
                 start = loaded.step
                 av_parts.append(np.asarray(loaded.av_vels))
                 f = loaded.f
+
+        # Precompile every distinct segment length (at most two: ``every``
+        # and the final remainder) so no AOT compile lands mid-run inside
+        # the timed region.
+        remaining = max_iters - start
+        if remaining >= every:
+            self.compiled(every)
+        tail = remaining % every if remaining >= every else remaining
+        if tail:
+            self.compiled(tail)
 
         tic = time.perf_counter()
         step = start

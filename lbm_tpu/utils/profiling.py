@@ -16,8 +16,10 @@ import dataclasses
 
 import jax
 
-# Bytes touched per cell per step by the fused kernel: read 9 f-planes +
-# 1 mask plane, write 9 f-planes, float32.
+# Bytes touched per cell per kernel pass: read 9 f-planes + 1 mask plane,
+# write 9 f-planes, float32.  Chunked kernels (multi-step / temporal)
+# advance several timesteps per pass, so divide by ``steps_per_pass`` to
+# get the nominal per-timestep HBM traffic.
 BYTES_PER_CELL = (9 + 1 + 9) * 4
 FLOPS_PER_CELL = 140  # approximate VPU op count of the fused step
 
@@ -37,6 +39,10 @@ class PerfReport:
     ny: int
     steps: int
     elapsed: float
+    # Timesteps advanced per kernel pass (the StepProgram ``chunk``): a
+    # temporal/multi-step kernel touches HBM once per K steps, so its real
+    # traffic is ~K x lower than the single-step kernel's.
+    steps_per_pass: int = 1
 
     @property
     def cell_updates(self) -> int:
@@ -48,7 +54,10 @@ class PerfReport:
 
     @property
     def effective_bandwidth_gbs(self) -> float:
-        return self.cell_updates * BYTES_PER_CELL / self.elapsed / 1e9
+        """Nominal HBM bytes/s of the compiled kernel variant (ghost-slab
+        traffic of the chunked kernels, a few rows per pass, is ignored)."""
+        per_step = BYTES_PER_CELL / self.steps_per_pass
+        return self.cell_updates * per_step / self.elapsed / 1e9
 
     @property
     def effective_gflops(self) -> float:

@@ -47,6 +47,16 @@ def test_resume_rejects_wrong_mask(tmp_path):
         other.run_checkpointed(tmp_path, every=10)
 
 
+def test_resume_rejects_wrong_physics(tmp_path):
+    """Altered density/accel/omega must not silently splice trajectories."""
+    make_sim().run_checkpointed(tmp_path, every=10, max_iters=10)
+    for field, value in (("omega", 1.5), ("accel", 0.01), ("density", 0.2)):
+        params2 = dataclasses.replace(PARAMS, **{field: value})
+        other = Simulator(params2, channel_box(64, 32), kernel="reference")
+        with pytest.raises(ValueError, match=field):
+            other.run_checkpointed(tmp_path, every=10)
+
+
 def test_resume_rejects_wrong_grid(tmp_path):
     make_sim().run_checkpointed(tmp_path, every=10, max_iters=10)
     params2 = dataclasses.replace(PARAMS, nx=128)

@@ -171,6 +171,77 @@ def test_select_device_out_of_range(monkeypatch):
         select_device("99")
 
 
+def test_bare_invocation_defaults_to_run(small_case, capsys):
+    """Reference contract: ``d2q9-bgk <paramfile> <obstaclefile>`` with no
+    subcommand (``d2q9-bgk.c:876-880``)."""
+    rc = cli.main(
+        [
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case / "bare"),
+            "--max-iters",
+            "20",
+        ]
+    )
+    assert rc == 0
+    assert "==done==" in capsys.readouterr().out
+    assert (small_case / "bare" / "av_vels.dat").exists()
+
+
+def test_shards_rejects_unsupported_flags(small_case):
+    base = [
+        "run",
+        str(small_case / "input.params"),
+        str(small_case / "obstacles.dat"),
+        "--shards",
+        "2",
+    ]
+    with pytest.raises(SystemExit, match="--device"):
+        cli.main(base + ["--device", "0"])
+    with pytest.raises(SystemExit, match="--checkpoint-dir"):
+        cli.main(base + ["--checkpoint-dir", str(small_case / "ck")])
+
+
+def test_run_on_nondefault_device(small_case, capsys):
+    """--device N must bind the executable to that device (ADVICE r1: the
+    lowering used to pin the default device and then fail at call time)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    rc = cli.main(
+        [
+            "run",
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case / "dev1"),
+            "--device",
+            "1",
+            "--max-iters",
+            "20",
+        ]
+    )
+    assert rc == 0
+    assert "==done==" in capsys.readouterr().out
+
+
+def test_checker_fails_on_nan_percent_diff(tmp_path):
+    """ref==sim==0 at a step yields a NaN %-diff; the reference checker's
+    argmax lands on it and fails — NaNs must not be skipped."""
+    a = tmp_path / "a.dat"
+    fs = tmp_path / "fs.dat"
+    a.write_text("0:\t1.00E-05\n1:\t0.00E+00\n")
+    fs.write_text("0 0 0.0E+00 0.0E+00 0.0E+00 3.3E-02 1\n")
+    assert not compare_files(
+        ref_av_vels=str(a),
+        ref_final_state=str(fs),
+        av_vels=str(a),
+        final_state=str(fs),
+    )
+
+
 def test_checker_rejects_mismatched_steps(tmp_path):
     a = tmp_path / "a.dat"
     b = tmp_path / "b.dat"
