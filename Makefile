@@ -3,7 +3,8 @@
 
 PY ?= python3
 
-.PHONY: all native test test-all check bench clean
+.PHONY: all native test test-all check bench clean \
+	check-128x128 check-128x256 check-256x256-av check-1024x1024-av
 
 all: native
 
@@ -17,16 +18,30 @@ test:
 test-all:
 	$(PY) -m pytest tests/ -x -q -m ""
 
-# Run the 128x128 case end-to-end and validate against the reference
-# goldens with the vendored checker (the reference's `make check`).
-check:
-	$(PY) -m lbm_tpu.cli run /root/reference/input_128x128.params \
-	    /root/reference/obstacles_128x128.dat --output-dir /tmp/lbm_check
+# Run ALL FOUR canonical cases end-to-end and validate against the
+# reference goldens with the vendored checker (the reference's `make
+# check`, extended to every case it ships goldens for).  256x256 and
+# 1024x1024 are av_vels-only: their final_state goldens were stripped
+# upstream (check/.MISSING_LARGE_BLOBS).  Any failure aborts with rc != 0.
+REF := /root/reference
+check: check-128x128 check-128x256 check-256x256-av check-1024x1024-av
+	@echo "== all four cases passed =="
+
+check-%: $(REF)/input_%.params
+	$(PY) -m lbm_tpu.cli run $(REF)/input_$*.params \
+	    $(REF)/obstacles_$*.dat --output-dir /tmp/lbm_check_$*
 	$(PY) tools/check.py \
-	    --ref-av-vels-file /root/reference/check/128x128.av_vels.dat \
-	    --ref-final-state-file /root/reference/check/128x128.final_state.dat \
-	    --av-vels-file /tmp/lbm_check/av_vels.dat \
-	    --final-state-file /tmp/lbm_check/final_state.dat
+	    --ref-av-vels-file $(REF)/check/$*.av_vels.dat \
+	    --ref-final-state-file $(REF)/check/$*.final_state.dat \
+	    --av-vels-file /tmp/lbm_check_$*/av_vels.dat \
+	    --final-state-file /tmp/lbm_check_$*/final_state.dat
+
+check-%-av: $(REF)/input_%.params
+	$(PY) -m lbm_tpu.cli run $(REF)/input_$*.params \
+	    $(REF)/obstacles_$*.dat --output-dir /tmp/lbm_check_$*
+	$(PY) tools/check.py \
+	    --ref-av-vels-file $(REF)/check/$*.av_vels.dat \
+	    --av-vels-file /tmp/lbm_check_$*/av_vels.dat
 
 bench:
 	$(PY) bench.py

@@ -15,8 +15,10 @@ import sys
 import numpy as np
 
 
-def _load(av_vels_path: str, final_state_path: str):
+def _load(av_vels_path: str, final_state_path: str | None):
     av = np.loadtxt(av_vels_path, usecols=[1], ndmin=1)
+    if final_state_path is None:
+        return av, None
     fs = np.loadtxt(final_state_path, usecols=[0, 1, 5], ndmin=2)
     return av, fs
 
@@ -39,37 +41,51 @@ def _report(name: str, ref: np.ndarray, sim: np.ndarray, where) -> float:
 def compare_files(
     *,
     ref_av_vels: str,
-    ref_final_state: str,
+    ref_final_state: str | None = None,
     av_vels: str,
-    final_state: str,
+    final_state: str | None = None,
     tolerance: float = 1.0,
 ) -> bool:
-    """Run the full comparison; prints the report, returns pass/fail."""
-    av_ref, fs_ref = _load(ref_av_vels, ref_final_state)
-    av_sim, fs_sim = _load(av_vels, final_state)
+    """Run the full comparison; prints the report, returns pass/fail.
 
-    if fs_ref.shape != fs_sim.shape or (fs_ref[:, :2] != fs_sim[:, :2]).any():
-        print("Final state files coordinates were not the same")
-        return False
+    When no reference final_state is given only the av_vels series is
+    checked (extension over the reference protocol: the upstream repo
+    stripped the 256x256/1024x1024 ``final_state`` goldens, keeping only
+    their ``av_vels`` — ``check/.MISSING_LARGE_BLOBS``).
+    """
+    av_ref, fs_ref = _load(ref_av_vels, ref_final_state)
+    av_sim, fs_sim = _load(av_vels, final_state if fs_ref is not None else None)
+
+    if fs_ref is not None:
+        if fs_sim is None:
+            print("Reference has a final_state file but the run does not")
+            return False
+        if fs_ref.shape != fs_sim.shape or (fs_ref[:, :2] != fs_sim[:, :2]).any():
+            print("Final state files coordinates were not the same")
+            return False
     if av_ref.size != av_sim.size:
         print("Different number of steps in av_vels files")
         return False
 
-    worst_av = _report("av_vels", av_ref, av_sim, lambda i: f"step {i}")
-    worst_fs = _report(
-        "final_state",
-        fs_ref[:, 2],
-        fs_sim[:, 2],
-        lambda i: f"coord ({int(fs_sim[i, 0])},{int(fs_sim[i, 1])})",
-    )
+    checks = [("av_vels", _report("av_vels", av_ref, av_sim, lambda i: f"step {i}"))]
+    if fs_ref is not None:
+        worst_fs = _report(
+            "final_state",
+            fs_ref[:, 2],
+            fs_sim[:, 2],
+            lambda i: f"coord ({int(fs_sim[i, 0])},{int(fs_sim[i, 1])})",
+        )
+        checks.insert(0, ("final state", worst_fs))
+    else:
+        print("(no reference final_state; av_vels-only check)")
 
     failed = False
-    for name, worst in (("final state", worst_fs), ("av_vels", worst_av)):
+    for name, worst in checks:
         if not np.isfinite(worst) or abs(worst) > tolerance:
             print(f"{name} failed check")
             failed = True
     if not failed:
-        print("Both tests passed!")
+        print("Both tests passed!" if fs_ref is not None else "av_vels passed!")
     return not failed
 
 
@@ -80,9 +96,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--tolerance", nargs=1, default=[1.0], type=float)
     parser.add_argument("--ref-av-vels-file", nargs=1, required=True)
-    parser.add_argument("--ref-final-state-file", nargs=1, required=True)
+    parser.add_argument("--ref-final-state-file", nargs=1, default=[None])
     parser.add_argument("--av-vels-file", nargs=1, required=True)
-    parser.add_argument("--final-state-file", nargs=1, required=True)
+    parser.add_argument("--final-state-file", nargs=1, default=[None])
     args = parser.parse_args(argv)
     ok = compare_files(
         ref_av_vels=args.ref_av_vels_file[0],

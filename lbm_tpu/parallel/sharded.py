@@ -364,6 +364,207 @@ def make_sharded_fused_run(
     return run
 
 
+def make_sharded_fused_2d_run(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    mesh: Mesh,
+    max_iters: int | None = None,
+    *,
+    by: int | None = None,
+    interpret: bool = False,
+) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]] | None:
+    """Fused-Pallas 2-D (y, x) decomposition.
+
+    The blocked ghost-roundtrip kernel is reused UNCHANGED on an x-padded
+    local tile ``[9, nyl, W]`` with ``W = nxl + PAD`` (PAD = 128 lanes, so W
+    stays lane-aligned).  The kernel's periodic lane rotate wraps over W,
+    which makes exactly two pad lanes load-bearing: a pull with cx=+1 at
+    lane 0 reads lane W-1, and a pull with cx=-1 at lane nxl-1 reads lane
+    nxl.  Those two ghost lanes are refreshed every step from the x-ring
+    neighbors' edge columns (one ``ppermute`` each way), so the local
+    rotate produces globally correct streaming; the remaining pad lanes
+    hold dead values that are masked out of collision and reduction (pad
+    mask = obstacle) and are never read by any pull that lands in a real
+    lane.
+
+    Ordering per step:
+    1. body force on the local kick row in jnp (gated to the last y-shard)
+       BEFORE the exchanges, so exchanged columns carry post-kick values —
+       same ordering as the jnp 2-D path;
+    2. y-phase: cross-device ghost-row slot patch (as in the 1-D fused
+       path: slot 0 south / slot P-1 north ride the y ring);
+    3. x-phase: edge columns with one-row y-extensions (taken from the
+       *patched* ghost rows, which carries the corner cells) ride the x
+       ring and are scattered into the ghost lanes of the center tile and
+       of every ghost-row slot.
+
+    Returns None when the padded local tile admits no valid row-block
+    split (caller falls back to the jnp 2-D path).
+    """
+    from lbm_tpu.ops.fused import build_blocked_kernel, choose_block_rows
+
+    if max_iters is None:
+        max_iters = params.max_iters
+    py, px = mesh.shape[AXIS], mesh.shape[AXIS_X]
+    ny, nx = params.ny, params.nx
+    if ny % py != 0 or nx % px != 0:
+        raise ValueError(f"grid {ny}x{nx} not divisible by mesh {py}x{px}")
+    nyl, nxl = ny // py, nx // px
+    if nyl < 3 or nxl < 2:
+        raise ValueError(
+            f"tiles too thin: {nyl}x{nxl} (need >=3 rows, >=2 cols)"
+        )
+    pad = 128
+    w = nxl + pad
+    if by is None:
+        by = choose_block_rows(nyl, w)
+    if by is None:
+        return None
+    if nyl % by != 0 or by < 3:
+        raise ValueError(f"invalid row block BY={by} for local slab {nyl}")
+    p_loc = nyl // by
+    w1, w2 = accel_weights(params)
+    fcinv = np.float32(free_cells_inv)
+    omega = float(np.float32(params.omega))
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+    # Padded global mask [ny, px*W]: per x-shard block = [fluid, 0-pad],
+    # so the (AXIS, AXIS_X) sharding hands each shard its [nyl, W] tile.
+    fluid_pad_host = np.concatenate(
+        [
+            np.concatenate(
+                [
+                    fluid_host[:, i * nxl : (i + 1) * nxl],
+                    np.zeros((ny, pad), np.float32),
+                ],
+                axis=1,
+            )
+            for i in range(px)
+        ],
+        axis=1,
+    )
+    call = build_blocked_kernel(
+        nyl,
+        w,
+        by,
+        omega,
+        float(w1),
+        float(w2),
+        dynamic_accel_gate=True,
+        interpret=interpret,
+    )
+    ring_y_dn = [(i, (i + 1) % py) for i in range(py)]
+    ring_y_up = [(i, (i - 1) % py) for i in range(py)]
+    ring_x_dn = [(i, (i + 1) % px) for i in range(px)]
+    ring_x_up = [(i, (i - 1) % px) for i in range(px)]
+    south_rows = np.array([(i * by - 1) % nyl for i in range(p_loc)], np.int32)
+    north_rows = np.array(
+        [((i + 1) * by) % nyl for i in range(p_loc)], np.int32
+    )
+    # Row r of the local slab sits at index r+1 of the exchanged
+    # [-1 .. nyl] column strip.  Ghost-slot i holds local row i*by-1
+    # (slot 0 = row -1 = strip index 0: the cross-device row — no modulo
+    # wrap here, unlike the in-slab south_rows/north_rows init indices)
+    # resp. (i+1)*by (last slot = row nyl = strip index nyl+1).
+    slot_s = np.array([i * by for i in range(p_loc)], np.int32)
+    slot_n = np.array([(i + 1) * by + 1 for i in range(p_loc)], np.int32)
+    zero_gate = np.zeros((1, 1), np.int32)  # in-kernel kick stays off
+
+    def local_run(f_loc: jax.Array, fluid_loc: jax.Array):
+        yshard = jax.lax.axis_index(AXIS)
+        # The kick row ny-2 is local row nyl-2 of the last y-shard (every
+        # x-shard along it kicks its own lanes).
+        kick_gate = (yshard == py - 1).astype(jnp.float32)
+        fluid_b = fluid_loc > jnp.float32(0.5)
+
+        def kick(f):
+            r = f[:, nyl - 2, :]  # [9, W] static row slice
+            ok = (
+                fluid_b[nyl - 2, :]
+                & (r[3] - w1 > 0.0)
+                & (r[6] - w2 > 0.0)
+                & (r[7] - w2 > 0.0)
+            )
+            okf = jnp.where(ok, jnp.float32(1.0), jnp.float32(0.0)) * kick_gate
+            scale = {1: w1, 3: -w1, 5: w2, 6: -w2, 7: -w2, 8: w2}
+            r2 = jnp.stack(
+                [r[k] + okf * scale[k] if k in scale else r[k] for k in range(9)]
+            )
+            return jax.lax.dynamic_update_slice(f, r2[:, None, :], (0, nyl - 2, 0))
+
+        def patch_y(gs, gn):
+            if py == 1:
+                return gs, gn
+            recv_s = jax.lax.ppermute(gs[0], AXIS, ring_y_dn)
+            recv_n = jax.lax.ppermute(gn[p_loc - 1], AXIS, ring_y_up)
+            gs = jnp.concatenate([recv_s[None], gs[1:]], axis=0)
+            gn = jnp.concatenate([gn[: p_loc - 1], recv_n[None]], axis=0)
+            return gs, gn
+
+        def patch_x(f, gs, gn):
+            # Edge columns with one-row extensions: rows [-1 .. nyl].
+            def strip(col):
+                return jnp.concatenate(
+                    [
+                        gs[0, :, col : col + 1],  # row -1 (post y-patch)
+                        f[:, :, col],  # rows 0..nyl-1
+                        gn[p_loc - 1, :, col : col + 1],  # row nyl
+                    ],
+                    axis=1,
+                )  # [9, nyl+2]
+
+            send_e, send_w = strip(nxl - 1), strip(0)
+            if px == 1:
+                recv_w, recv_e = send_e, send_w  # self-wrap
+            else:
+                recv_w = jax.lax.ppermute(send_e, AXIS_X, ring_x_dn)
+                recv_e = jax.lax.ppermute(send_w, AXIS_X, ring_x_up)
+            # Scatter into the two ghost lanes of the center tile ...
+            f = f.at[:, :, w - 1].set(recv_w[:, 1 : nyl + 1])
+            f = f.at[:, :, nxl].set(recv_e[:, 1 : nyl + 1])
+            # ... and of every ghost-row slot (slot i = one specific row).
+            gs = gs.at[:, :, w - 1].set(jnp.transpose(recv_w[:, slot_s]))
+            gs = gs.at[:, :, nxl].set(jnp.transpose(recv_e[:, slot_s]))
+            gn = gn.at[:, :, w - 1].set(jnp.transpose(recv_w[:, slot_n]))
+            gn = gn.at[:, :, nxl].set(jnp.transpose(recv_e[:, slot_n]))
+            return f, gs, gn
+
+        def body(carry, _):
+            f, gs, gn = carry
+            f = kick(f)
+            gs, gn = patch_y(gs, gn)
+            f, gs, gn = patch_x(f, gs, gn)
+            f2, gs2, gn2, tot = call(
+                f, gs, gn, fluid_loc, jnp.asarray(zero_gate)
+            )
+            av = jax.lax.psum(tot[0, 0] * fcinv, (AXIS, AXIS_X))
+            return (f2, gs2, gn2), av
+
+        f_pad = jnp.concatenate(
+            [f_loc, jnp.zeros((NSPEEDS, nyl, pad), jnp.float32)], axis=2
+        )
+        gs0 = jnp.transpose(f_pad[:, south_rows, :], (1, 0, 2))
+        gn0 = jnp.transpose(f_pad[:, north_rows, :], (1, 0, 2))
+        (f_fin, _, _), avs = jax.lax.scan(
+            body, (f_pad, gs0, gn0), None, length=max_iters
+        )
+        return f_fin[:, :, :nxl], avs
+
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, AXIS_X), P(AXIS, AXIS_X)),
+        out_specs=(P(None, AXIS, AXIS_X), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(f_global: jax.Array):
+        return sharded(f_global, jnp.asarray(fluid_pad_host))
+
+    return run
+
+
 def make_sharded_temporal_run(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -552,15 +753,27 @@ class ShardedSimulator:
             max_iters = self.params.max_iters
         if self._run is None or self._iters != max_iters:
             if AXIS_X in self.mesh.shape:
-                # 2-D decomposition currently uses the jnp step (the fused
-                # kernel's ghost carry is 1-D; x-halos ride ppermute).
-                self._run = make_sharded_2d_run(
-                    self.params,
-                    self.obstacles,
-                    self.free_cells_inv,
-                    self.mesh,
-                    max_iters,
-                )
+                # 2-D decomposition: the fused Pallas path (blocked kernel
+                # on an x-padded tile, two-phase ghost exchange) when the
+                # tile admits a row-block split, else the jnp step.
+                self._run = None
+                if self.kernel in ("fused", "temporal"):
+                    self._run = make_sharded_fused_2d_run(
+                        self.params,
+                        self.obstacles,
+                        self.free_cells_inv,
+                        self.mesh,
+                        max_iters,
+                        interpret=self.interpret,
+                    )
+                if self._run is None:
+                    self._run = make_sharded_2d_run(
+                        self.params,
+                        self.obstacles,
+                        self.free_cells_inv,
+                        self.mesh,
+                        max_iters,
+                    )
             elif self.kernel in ("fused", "temporal"):
                 self._run = make_sharded_temporal_run(
                     self.params,

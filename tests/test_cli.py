@@ -227,6 +227,23 @@ def test_run_on_nondefault_device(small_case, capsys):
     assert "==done==" in capsys.readouterr().out
 
 
+def test_checker_av_only_mode(tmp_path, capsys):
+    """Without a reference final_state (stripped upstream for the big
+    cases), the checker validates av_vels alone."""
+    a = tmp_path / "a.dat"
+    b = tmp_path / "b.dat"
+    a.write_text("0:\t1.00E-05\n")
+    b.write_text("0:\t1.05E-05\n")  # 5% off
+    assert compare_files(ref_av_vels=str(a), av_vels=str(a))
+    assert not compare_files(ref_av_vels=str(a), av_vels=str(b))
+    capsys.readouterr()
+    rc = cli.main(
+        ["check", "--ref-av-vels-file", str(a), "--av-vels-file", str(a)]
+    )
+    assert rc == 0
+    assert "av_vels passed!" in capsys.readouterr().out
+
+
 def test_checker_fails_on_nan_percent_diff(tmp_path):
     """ref==sim==0 at a step yields a NaN %-diff; the reference checker's
     argmax lands on it and fails — NaNs must not be skipped."""

@@ -115,6 +115,74 @@ def test_sharded_2d_matches_single_device(eight_devices, py, px):
     np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-5)
 
 
+@pytest.mark.parametrize("py,px", [(2, 4), (4, 2), (1, 4), (2, 1)])
+def test_sharded_fused_2d_matches_single_device(eight_devices, py, px):
+    """The fused-Pallas 2-D path (x-padded tile + two-phase ghost exchange,
+    interpret mode) must match the single-device reference step."""
+    from lbm_tpu.parallel.sharded import default_mesh_2d, make_sharded_fused_2d_run
+    from lbm_tpu.ops.reference import init_cells
+
+    params = dataclasses.replace(PARAMS, ny=32, nx=64, max_iters=12)
+    obstacles = channel_box(params.nx, params.ny, interior_row=13)
+    single = Simulator(params, obstacles, kernel="reference").run()
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    run = make_sharded_fused_2d_run(
+        params,
+        obstacles,
+        fcinv,
+        default_mesh_2d(py, px),
+        interpret=True,
+    )
+    assert run is not None
+    f_fin, avs = run(init_cells(params))
+    np.testing.assert_allclose(np.asarray(f_fin), single.f, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(avs), single.av_vels, rtol=1e-4)
+
+
+def test_sharded_fused_2d_multiblock_and_walls(eight_devices):
+    """Forced BY < nyl (multiple row blocks per shard) with an interior
+    vertical wall crossing the x-shard boundary — exercises the ghost-lane
+    scatter into every ghost-row slot, not just slot 0 / slot P-1."""
+    from lbm_tpu.parallel.sharded import default_mesh_2d, make_sharded_fused_2d_run
+    from lbm_tpu.ops.reference import init_cells
+
+    params = dataclasses.replace(PARAMS, ny=32, nx=64, max_iters=10)
+    obstacles = channel_box(params.nx, params.ny, interior_col=33)
+    single = Simulator(params, obstacles, kernel="reference").run()
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    run = make_sharded_fused_2d_run(
+        params,
+        obstacles,
+        fcinv,
+        default_mesh_2d(2, 4),
+        by=4,  # nyl=16 -> 4 blocks per shard
+        interpret=True,
+    )
+    f_fin, avs = run(init_cells(params))
+    np.testing.assert_allclose(np.asarray(f_fin), single.f, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(avs), single.av_vels, rtol=1e-4)
+
+
+def test_sharded_simulator_routes_2d_fused(eight_devices):
+    """ShardedSimulator(kernel='fused') on a 2-D mesh must use the fused
+    path end-to-end (not silently fall back to jnp)."""
+    params = dataclasses.replace(PARAMS, ny=32, nx=64, max_iters=8)
+    obstacles = channel_box(params.nx, params.ny)
+    single = Simulator(params, obstacles, kernel="reference").run()
+    from lbm_tpu.parallel.sharded import default_mesh_2d
+
+    sim = ShardedSimulator(
+        params,
+        obstacles,
+        mesh=default_mesh_2d(2, 2),
+        kernel="fused",
+        interpret=True,
+    )
+    res = sim.run()
+    np.testing.assert_allclose(res.f, single.f, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=1e-4)
+
+
 def test_sharded_2d_interior_column(eight_devices):
     """A vertical wall (the 1024x1024 case's x=341 analog) crossing x-shard
     boundaries bounces back identically."""

@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--markdown", action="store_true")
+    parser.add_argument(
+        "--tolerance",
+        type=float,
+        default=1.0,
+        metavar="PCT",
+        help="fail (exit 1) if any case deviates more than this vs golden",
+    )
     args = parser.parse_args(argv)
 
     rows = [bench_case(case, args.repeats) for case in REFERENCE_SECONDS]
@@ -83,6 +90,21 @@ def main(argv: list[str] | None = None) -> int:
                 f"{r['speedup']:5.1f}x vs ref; diff {r['max_diff_pct']:.4f}%; "
                 f"Re {r['reynolds']:.4f}"
             )
+
+    # Correctness gate: a golden-checked case that drifted out of tolerance
+    # (or produced non-finite values) makes this a FAILED run, not a perf
+    # report with a footnote.  Cases without a mounted golden have NaN
+    # max_diff_pct and are exempt (their av_vels must still be finite).
+    failed = []
+    for r in rows:
+        golden_present = (GOLDEN_DIR / f"{r['case']}.av_vels.dat").exists()
+        if golden_present and not (r["max_diff_pct"] <= args.tolerance):
+            failed.append(f"{r['case']} ({r['max_diff_pct']:.4f}%)")
+        elif not np.isfinite(r["reynolds"]):
+            failed.append(f"{r['case']} (non-finite Reynolds)")
+    if failed:
+        print(f"FAILED tolerance {args.tolerance}%: {', '.join(failed)}")
+        return 1
     return 0
 
 

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Generate vendored golden data for the test suite (SURVEY §7.1, C12).
+
+Runs the independent float64 NumPy engine (``lbm_tpu/validation.py``) for a
+prefix of each canonical case and writes ``tests/goldens/<case>.av_vels.dat``
+in the reference ``av_vels.dat`` format.  When the reference checkout is
+mounted, every generated series is cross-checked against the reference's own
+golden (``/root/reference/check/<case>.av_vels.dat``) before being written,
+so the vendored data is provably equivalent to the upstream goldens — but is
+produced by this repo's own fp64 engine, making the test suite
+self-contained without copying reference data files.
+
+Usage: python tools/gen_goldens.py [--outdir tests/goldens] [--case NAME ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from lbm_tpu.config import CANONICAL_PARAMS
+from lbm_tpu.geometry import canonical_obstacles
+from lbm_tpu.validation import run64
+
+# Prefix lengths: long enough that fp32-vs-fp64 drift is exercised, short
+# enough that the fp64 engine regenerates them in minutes (1024x1024 runs
+# at ~2 s/step in float64 NumPy).
+PREFIX_STEPS = {
+    "128x128": 1000,
+    "128x256": 1000,
+    "256x256": 600,
+    "1024x1024": 300,
+}
+REFERENCE_CHECK = pathlib.Path("/root/reference/check")
+# fp64 engine vs the reference's fp32-GPU-produced goldens: the reference
+# itself reports ~1e-7% fp32-vs-fp64 deviation at step 40000
+# (profiles/7SimpleParallelism/128x128/check.txt); 0.1% over a short prefix
+# is a conservative cross-check bound.
+CROSSCHECK_TOL_PCT = 0.1
+
+
+def generate(case: str, outdir: pathlib.Path) -> None:
+    steps = PREFIX_STEPS[case]
+    params = CANONICAL_PARAMS[case]
+    tic = time.perf_counter()
+    _, av = run64(params, canonical_obstacles(case), max_iters=steps)
+    print(f"{case}: {steps} fp64 steps in {time.perf_counter() - tic:.1f}s")
+
+    ref_path = REFERENCE_CHECK / f"{case}.av_vels.dat"
+    if ref_path.exists():
+        golden = np.loadtxt(ref_path, usecols=[1])[:steps]
+        pct = np.abs((golden - av) / golden) * 100
+        print(f"  cross-check vs reference golden: max {pct.max():.2e}%")
+        assert pct.max() < CROSSCHECK_TOL_PCT, (
+            f"{case}: fp64 engine deviates {pct.max():.4f}% from the "
+            "reference golden — refusing to vendor"
+        )
+    else:
+        print("  (reference golden not mounted; skipping cross-check)")
+
+    outdir.mkdir(parents=True, exist_ok=True)
+    out = outdir / f"{case}.av_vels.dat"
+    with open(out, "w") as fp:
+        fp.writelines(f"{i}:\t{v:.12E}\n" for i, v in enumerate(av))
+    print(f"  wrote {out}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--outdir",
+        default=pathlib.Path(__file__).resolve().parent.parent
+        / "tests"
+        / "goldens",
+        type=pathlib.Path,
+    )
+    parser.add_argument(
+        "--case", action="append", choices=sorted(PREFIX_STEPS), default=None
+    )
+    args = parser.parse_args(argv)
+    for case in args.case or PREFIX_STEPS:
+        generate(case, args.outdir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
