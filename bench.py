@@ -24,13 +24,17 @@ def main() -> int:
     params = CANONICAL_PARAMS[case]
     obstacles = canonical_obstacles(case)
     sim = Simulator(params, obstacles, kernel="auto")
-    sim.compiled()  # AOT compile outside the timed region
+    # AOT compile outside the timed region.  readback="fields" fetches the
+    # 4 derived final-state planes (everything the output contract needs)
+    # instead of the 9 f-planes — the same contract the reference's
+    # device->host readback serves, at <half the transfer bytes.
+    sim.compiled(readback="fields")
 
     # Best-of-4: the first execution after a fresh process can be inflated
     # by transport warmup on tunneled devices.
     best = None
     for _ in range(4):
-        res = sim.run()
+        res = sim.run(readback="fields")
         if best is None or res.elapsed < best.elapsed:
             best = res
 

@@ -83,10 +83,13 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     def go():
         if args.checkpoint_dir:
+            # Checkpointing needs the full f state on host each segment.
             return sim.run_checkpointed(
                 args.checkpoint_dir, every=args.checkpoint_every
             )
-        return sim.run()
+        # The run's outputs (final_state.dat + epilogue) only need the 4
+        # derived planes; fetch those instead of the 9 f-planes.
+        return sim.run(readback="fields")
 
     if args.profile:
         import jax
@@ -98,7 +101,9 @@ def cmd_run(args: argparse.Namespace) -> int:
     _epilogue(res, steps_per_pass=sim.chunk())
     outdir = pathlib.Path(args.output_dir)
     outdir.mkdir(parents=True, exist_ok=True)
-    write_final_state(outdir / "final_state.dat", params, res.f, obstacles)
+    write_final_state(
+        outdir / "final_state.dat", params, res.f, obstacles, fields=res.fields
+    )
     write_av_vels(outdir / "av_vels.dat", res.av_vels)
     return 0
 
@@ -133,10 +138,10 @@ def cmd_bench(args: argparse.Namespace) -> int:
     if args.max_iters is not None:
         params = dataclasses.replace(params, max_iters=args.max_iters)
     sim = Simulator(params, obstacles, kernel=args.kernel)
-    sim.compiled()
+    sim.compiled(readback="fields")
     best = None
     for _ in range(args.repeats):
-        res = sim.run()
+        res = sim.run(readback="fields")
         best = res if best is None or res.elapsed < best.elapsed else best
     print(
         json.dumps(

@@ -45,12 +45,22 @@ def final_state_columns(
 def write_final_state(
     path: str | pathlib.Path,
     params: LBMParams,
-    f: np.ndarray,
+    f: np.ndarray | None,
     obstacles: np.ndarray,
+    fields: np.ndarray | None = None,
 ) -> None:
-    """Write ``final_state.dat`` (row-major sweep: y outer, x inner)."""
+    """Write ``final_state.dat`` (row-major sweep: y outer, x inner).
+
+    Accepts either the 9-plane distribution state ``f`` (columns derived
+    on host in fp64) or a precomputed ``fields = [u_x, u_y, |u|,
+    pressure]`` stack (the ``readback='fields'`` fast path: the columns
+    were derived on-device).
+    """
     obstacles = np.asarray(obstacles, dtype=bool)
-    u_x, u_y, speed, pressure = final_state_columns(params, f, obstacles)
+    if fields is not None:
+        u_x, u_y, speed, pressure = np.asarray(fields, dtype=np.float64)
+    else:
+        u_x, u_y, speed, pressure = final_state_columns(params, f, obstacles)
     ny, nx = obstacles.shape
     if _lbmio is not None:
         _lbmio.write_final_state(

@@ -89,20 +89,35 @@ def make_step(
 
 @dataclasses.dataclass
 class RunResult:
-    """Outcome of a full simulation run."""
+    """Outcome of a full simulation run.
+
+    Exactly one of ``f`` (readback="state", the 9 distribution planes) or
+    ``fields`` (readback="fields": device-computed ``[u_x, u_y, |u|,
+    pressure]`` — everything ``final_state.dat`` needs, at 4/9 the
+    device->host bytes) is set.
+    """
 
     params: LBMParams
-    f: np.ndarray  # [9, ny, nx] float32 final distributions
+    f: np.ndarray | None  # [9, ny, nx] float32 final distributions
     av_vels: np.ndarray  # [maxIters] float32 per-step mean fluid speed
     obstacles: np.ndarray  # [ny, nx] bool
     free_cells_inv: float
     elapsed: float  # seconds, upload -> download (reference's tic..toc)
+    fields: np.ndarray | None = None  # [4, ny, nx] float32
 
     @property
     def reynolds(self) -> float:
-        return diagnostics.calc_reynolds(
-            self.params, self.f, self.obstacles, self.free_cells_inv
-        )
+        if self.f is not None:
+            return diagnostics.calc_reynolds(
+                self.params, self.f, self.obstacles, self.free_cells_inv
+            )
+        # fields mode: |u| was computed on-device in fp32; accumulate the
+        # masked mean in fp64 on host (same 4-digit agreement as the fp64
+        # path — the per-cell speeds differ only at fp32 rounding).
+        speed = np.asarray(self.fields[2], dtype=np.float64)
+        fluid = ~np.asarray(self.obstacles, dtype=bool)
+        av = speed[fluid].sum() * self.free_cells_inv
+        return av * self.params.reynolds_dim / self.params.viscosity
 
     @property
     def mlups(self) -> float:
@@ -135,14 +150,34 @@ class Simulator:
         self.device = device if device is not None else select_device()
         self.kernel = kernel
         self._collect = collect_av_vels
-        self._compiled: dict[int, Any] = {}
+        self._compiled: dict[tuple[int, str], Any] = {}
         self._chunks: dict[int, int] = {}
 
     # -- compiled program ---------------------------------------------------
 
-    def _build(self, max_iters: int, fallback_level: int = 0):
+    def _final_fields_fn(self):
+        """Device-side ``f -> [u_x, u_y, |u|, pressure]`` (the complete
+        ``final_state.dat`` payload, ``d2q9-bgk.c:789-836`` semantics:
+        u = 0 and pressure = density/3 on obstacle cells)."""
+        fluid = jnp.asarray(~self.obstacles)
+        rest_pressure = jnp.float32(self.params.density / 3.0)
+
+        def fields(f):
+            rho = jnp.sum(f, axis=0)
+            ux = jnp.where(fluid, (f[1] + f[5] + f[8] - f[3] - f[6] - f[7]) / rho, 0.0)
+            uy = jnp.where(fluid, (f[2] + f[5] + f[6] - f[4] - f[7] - f[8]) / rho, 0.0)
+            speed = jnp.sqrt(ux * ux + uy * uy)
+            pressure = jnp.where(fluid, rho * jnp.float32(1.0 / 3.0), rest_pressure)
+            return jnp.stack([ux, uy, speed, pressure])
+
+        return fields
+
+    def _build(self, max_iters: int, fallback_level: int = 0,
+               readback: str = "state"):
         """fallback_level: 0 = chunked/temporal kernels allowed, 1 =
-        single-step fused only, 2 = jnp reference path."""
+        single-step fused only, 2 = jnp reference path.  readback:
+        'state' returns the 9-plane f, 'fields' returns the 4 derived
+        final-state planes (less than half the device->host traffic)."""
         program = make_program(
             self.params,
             self.obstacles,
@@ -152,23 +187,31 @@ class Simulator:
         )
         assert max_iters % program.chunk == 0
         self._chunks[max_iters] = program.chunk
+        finalize = (
+            self._final_fields_fn() if readback == "fields" else (lambda f: f)
+        )
 
         def body(carry, _):
             carry, av = program.step(carry)
             return carry, av if self._collect else None
 
-        @functools.partial(jax.jit, donate_argnums=0)
+        # Donation lets XLA alias f0 with the returned f buffer; in fields
+        # mode no output matches the input shape, so donating would only
+        # emit a "donated buffers were not usable" warning.
+        donate = (0,) if readback == "state" else ()
+
+        @functools.partial(jax.jit, donate_argnums=donate)
         def run_scan(f0):
             carry, av = jax.lax.scan(
                 body, program.init(f0), None, length=max_iters // program.chunk
             )
             if self._collect and program.chunk > 1:
                 av = av.reshape(max_iters)
-            return program.final(carry), av
+            return finalize(program.final(carry)), av
 
         return run_scan
 
-    def compiled(self, max_iters: int | None = None):
+    def compiled(self, max_iters: int | None = None, readback: str = "state"):
         """AOT-compile (and cache) the full-run program for ``max_iters``.
 
         Ahead-of-time compilation is the analog of the reference's
@@ -177,7 +220,8 @@ class Simulator:
         """
         if max_iters is None:
             max_iters = self.params.max_iters
-        if max_iters not in self._compiled:
+        key = (max_iters, readback)
+        if key not in self._compiled:
             # Bind the target device at lowering time; otherwise the
             # executable is pinned to the default device and a non-default
             # LBM_DEVICE/--device run fails with a sharding mismatch.
@@ -189,8 +233,10 @@ class Simulator:
             last_err = None
             for level in range(3):
                 try:
-                    fn = self._build(max_iters, fallback_level=level)
-                    self._compiled[max_iters] = fn.lower(spec).compile()
+                    fn = self._build(
+                        max_iters, fallback_level=level, readback=readback
+                    )
+                    self._compiled[key] = fn.lower(spec).compile()
                     break
                 except jax.errors.JaxRuntimeError as e:
                     # e.g. a temporal/multi-step variant exceeding VMEM on
@@ -198,7 +244,7 @@ class Simulator:
                     last_err = e
             else:
                 raise last_err
-        return self._compiled[max_iters]
+        return self._compiled[key]
 
     def chunk(self, max_iters: int | None = None) -> int:
         """Timesteps per kernel pass of the compiled program (1 = the
@@ -224,20 +270,26 @@ class Simulator:
         max_iters: int | None = None,
         f0: np.ndarray | jax.Array | None = None,
         warmup: bool = False,
+        readback: str = "state",
     ) -> RunResult:
-        """Initialise, run the time loop on-device, read back once."""
+        """Initialise, run the time loop on-device, read back once.
+
+        ``readback="fields"`` computes (u_x, u_y, |u|, pressure) on-device
+        and fetches those 4 planes instead of the 9 f-planes — everything
+        the output writers and the epilogue need, at <half the transfer.
+        """
         if max_iters is None:
             max_iters = self.params.max_iters
         del warmup  # compilation is always ahead-of-time via compiled()
-        fn = self.compiled(max_iters)
+        fn = self.compiled(max_iters, readback=readback)
         tic = time.perf_counter()
         f = (
             self.initial_state()
             if f0 is None
             else jax.device_put(jnp.asarray(f0, jnp.float32), self.device)
         )
-        f_final, av = fn(f)
-        f_host = np.asarray(jax.device_get(f_final))
+        out, av = fn(f)
+        out_host = np.asarray(jax.device_get(out))
         av_host = (
             np.asarray(jax.device_get(av))
             if self._collect
@@ -247,7 +299,8 @@ class Simulator:
         run_params = dataclasses.replace(self.params, max_iters=max_iters)
         return RunResult(
             params=run_params,
-            f=f_host,
+            f=out_host if readback == "state" else None,
+            fields=out_host if readback == "fields" else None,
             av_vels=av_host,
             obstacles=self.obstacles,
             free_cells_inv=float(self.free_cells_inv),

@@ -227,6 +227,35 @@ def test_run_on_nondefault_device(small_case, capsys):
     assert "==done==" in capsys.readouterr().out
 
 
+def test_fields_readback_matches_state(small_case, tmp_path):
+    """readback='fields' must produce byte-identical output files (modulo
+    fp32-vs-fp64 derivation rounding within the checker tolerance) and the
+    same Reynolds number as the full-state readback."""
+    import dataclasses
+
+    from lbm_tpu.config import CANONICAL_PARAMS
+    from lbm_tpu.geometry import canonical_obstacles
+    from lbm_tpu.io import read_final_state, write_final_state
+    from lbm_tpu.runtime import Simulator
+
+    params = dataclasses.replace(CANONICAL_PARAMS["128x128"], max_iters=50)
+    obs = canonical_obstacles("128x128")
+    sim = Simulator(params, obs, kernel="reference")
+    state = sim.run()
+    fields = sim.run(readback="fields")
+    assert fields.f is None and fields.fields.shape == (4, 128, 128)
+    np.testing.assert_array_equal(state.av_vels, fields.av_vels)
+    # per-cell |u| derived in fp32 on device vs fp64 on host
+    assert abs(state.reynolds - fields.reynolds) / state.reynolds < 1e-4
+
+    write_final_state(tmp_path / "a.dat", params, state.f, obs)
+    write_final_state(tmp_path / "b.dat", params, None, obs, fields=fields.fields)
+    a, b = read_final_state(tmp_path / "a.dat"), read_final_state(tmp_path / "b.dat")
+    np.testing.assert_array_equal(a[:, :2], b[:, :2])
+    # atol covers near-zero u components where fp32 rounding dominates
+    np.testing.assert_allclose(a[:, 2:6], b[:, 2:6], rtol=1e-5, atol=1e-7)
+
+
 def test_checker_av_only_mode(tmp_path, capsys):
     """Without a reference final_state (stripped upstream for the big
     cases), the checker validates av_vels alone."""

@@ -52,6 +52,115 @@ def test_fp32_tracks_fp64_on_random_cases(seed):
     np.testing.assert_allclose(res.f, f64, rtol=5e-4, atol=1e-7)
 
 
+# ---------------------------------------------------------------------------
+# Randomized sweeps through the Pallas variants (interpret mode): the gate
+# algebra of the fused/temporal kernels must survive random geometry near
+# the body-force row ny-2, random physics and random (BY, K) splits — not
+# just the hand-built fixtures in test_fused.py.
+# ---------------------------------------------------------------------------
+
+
+def random_pallas_case(seed: int):
+    """Random case with an interior wall segment at/near the body-force
+    row (rows ny-4 .. ny-2) — the geometry most likely to break the
+    accelerate-gate algebra."""
+    rng = np.random.default_rng(seed + 1000)
+    ny = int(rng.choice([16, 32, 64]))
+    nx = int(rng.choice([32, 64, 128]))
+    params = LBMParams(
+        nx,
+        ny,
+        24,
+        10,
+        float(rng.uniform(0.05, 0.2)),
+        float(rng.uniform(0.0, 0.01)),
+        float(rng.uniform(0.5, 1.9)),
+    )
+    obstacles = rng.random((ny, nx)) < rng.uniform(0.0, 0.1)
+    obstacles[:, 0] = obstacles[:, -1] = True
+    wall_row = int(rng.integers(ny - 4, ny - 1))  # ny-4 .. ny-2
+    x0 = int(rng.integers(0, nx // 2))
+    x1 = int(rng.integers(nx // 2, nx))
+    obstacles[wall_row, x0:x1] = True
+    return params, obstacles
+
+
+def _run_program(prog, params, iters):
+    import jax.numpy as jnp
+
+    from lbm_tpu.ops.reference import init_cells
+
+    assert iters % prog.chunk == 0
+    carry = prog.init(jnp.asarray(init_cells(params)))
+    avs = []
+    for _ in range(iters // prog.chunk):
+        carry, av = prog.step(carry)
+        avs.append(np.atleast_1d(np.asarray(av)))
+    return np.asarray(prog.final(carry)), np.concatenate(avs)
+
+
+def _assert_tracks_fp64(params, obstacles, f32, av32):
+    f64, av64 = run64(params, obstacles)
+    nz = av64 != 0
+    if nz.any():
+        pct = np.abs((av64[nz] - av32[nz]) / av64[nz]) * 100
+        assert pct.max() < 1.0, (params, pct.max())
+    np.testing.assert_allclose(f32, f64, rtol=5e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fused_blocked_random(seed):
+    from lbm_tpu.ops.fused import build_fused_program
+
+    params, obstacles = random_pallas_case(seed)
+    rng = np.random.default_rng(seed)
+    divisors = [b for b in (4, 8, 16) if params.ny % b == 0 and b < params.ny]
+    by = int(rng.choice(divisors))
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    prog = build_fused_program(params, obstacles, fcinv, by, interpret=True)
+    f32, av32 = _run_program(prog, params, params.max_iters)
+    _assert_tracks_fp64(params, obstacles, f32, av32)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_temporal_random_by_k(seed):
+    from lbm_tpu.ops.fused import build_temporal_program
+
+    params, obstacles = random_pallas_case(seed + 50)
+    rng = np.random.default_rng(seed)
+    splits = [
+        (b, k)
+        for b in (4, 8, 16)
+        for k in (2, 4, 8)
+        if params.ny % b == 0
+        and params.ny // b >= 2
+        and 2 <= k <= b - 2
+        and params.max_iters % k == 0
+    ]
+    by, k = splits[int(rng.integers(len(splits)))]
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    prog = build_temporal_program(
+        params, obstacles, fcinv, by, k, interpret=True
+    )
+    f32, av32 = _run_program(prog, params, params.max_iters)
+    _assert_tracks_fp64(params, obstacles, f32, av32)
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_multi_step_random(seed):
+    from lbm_tpu.ops.fused import build_multi_step_program
+
+    params, obstacles = random_pallas_case(seed + 100)
+    rng = np.random.default_rng(seed)
+    chunk = int(rng.choice([c for c in (4, 8, 12) if params.max_iters % c == 0]))
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    prog = build_multi_step_program(
+        params, obstacles, fcinv, chunk, interpret=True
+    )
+    f32, av32 = _run_program(prog, params, params.max_iters)
+    _assert_tracks_fp64(params, obstacles, f32, av32)
+
+
 @pytest.mark.parametrize("seed", [1, 3])
 def test_mass_conserved_on_random_cases(seed):
     params, obstacles = random_case(seed)

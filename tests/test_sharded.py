@@ -197,6 +197,31 @@ def test_sharded_2d_interior_column(eight_devices):
     np.testing.assert_array_equal(sharded.f, single.f)
 
 
+def test_bench_sharded_smoke(eight_devices, capsys):
+    """The weak-scaling harness (BASELINE.json configs[4], scaled down)
+    runs end-to-end on the virtual mesh and reports per-chip MLUPS."""
+    import json
+
+    from tools.bench_sharded import main
+
+    rc = main(
+        [
+            "--shards", "8",
+            "--ny", "128",
+            "--nx", "128",
+            "--max-iters", "20",
+            "--kernel", "reference",
+            "--repeats", "1",
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["unit"] == "MLUPS/chip"
+    assert payload["shards"] == 8
+    assert payload["value"] > 0
+    assert np.isfinite(payload["av_last"])
+
+
 def test_rejects_indivisible_grid(eight_devices):
     params = dataclasses.replace(PARAMS, ny=36)
     obstacles = channel_box(params.nx, params.ny)

@@ -36,10 +36,10 @@ GOLDEN_DIR = pathlib.Path("/root/reference/check")
 def bench_case(case: str, repeats: int) -> dict:
     params = CANONICAL_PARAMS[case]
     sim = Simulator(params, canonical_obstacles(case))
-    sim.compiled()
+    sim.compiled(readback="fields")
     best = None
     for _ in range(repeats):
-        res = sim.run()
+        res = sim.run(readback="fields")
         if best is None or res.elapsed < best.elapsed:
             best = res
     row = {

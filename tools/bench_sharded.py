@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Weak-scaling benchmark: the BASELINE.json configs[4] case — a 4096x4096
+grid row-sharded over a v5e-8 mesh with per-step halo exchange over ICI.
+
+Builds the case, runs the 1-D sharded path (temporal Pallas kernel on TPU,
+jnp elsewhere), and reports total + per-chip MLUPS and the ICI halo traffic
+per step.  Timing excludes the device->host readback (the weak-scaling
+metric is sustained on-chip step rate; the ~576 MB f readback at 4096^2 is
+a one-time cost dominated by the host link, reported separately).
+
+One command, ready for real multi-chip hardware:
+
+    python tools/bench_sharded.py                      # 4096^2, all devices
+    python tools/bench_sharded.py --shards 8 --max-iters 2000
+
+CPU smoke (the 8-virtual-device mesh used by the test suite):
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tools/bench_sharded.py --ny 256 --nx 256 --max-iters 50 \
+        --kernel reference
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--shards", type=int, default=None,
+                        help="mesh size (default: all devices)")
+    parser.add_argument("--ny", type=int, default=4096)
+    parser.add_argument("--nx", type=int, default=4096)
+    parser.add_argument("--max-iters", type=int, default=2000)
+    parser.add_argument("--kernel", default="auto",
+                        choices=["auto", "fused", "temporal", "reference"])
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from lbm_tpu.config import LBMParams
+    from lbm_tpu.geometry import channel_box
+    from lbm_tpu.ops.reference import init_cells
+    from lbm_tpu.parallel.sharded import AXIS, ShardedSimulator, default_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = args.shards if args.shards is not None else len(jax.devices())
+    # Same physics as the canonical cases; a closed channel box (the
+    # 1024x1024 case's geometry family) scaled to the weak-scaling grid.
+    params = LBMParams(args.nx, args.ny, args.max_iters, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(args.nx, args.ny)
+    mesh = default_mesh(n)
+    sim = ShardedSimulator(params, obstacles, mesh=mesh, kernel=args.kernel)
+    fn = sim.compiled(args.max_iters)
+
+    sharding = NamedSharding(mesh, P(None, AXIS, None))
+    f = jax.device_put(init_cells(params), sharding)
+    f, av = fn(f)  # warmup pass (donated: f is reusable)
+    jax.device_get(av[-1])
+
+    best = float("inf")
+    for _ in range(args.repeats):
+        tic = time.perf_counter()
+        f, av = fn(f)
+        jax.device_get(av[-1])  # sync on the scalar stream, not the 576 MB f
+        best = min(best, time.perf_counter() - tic)
+
+    cells = params.nx * params.ny
+    mlups = cells * args.max_iters / best / 1e6
+    # Halo traffic per step per shard: one 9-speed boundary row each way
+    # (the temporal path moves K-row slabs every K steps — same bytes).
+    ici_bytes_per_step = 2 * 9 * params.nx * 4
+    print(
+        json.dumps(
+            {
+                "metric": f"weak-scaling {params.ny}x{params.nx} over {n} shards",
+                "value": round(mlups / n, 1),
+                "unit": "MLUPS/chip",
+                "total_mlups": round(mlups, 1),
+                "us_per_step": round(best / args.max_iters * 1e6, 2),
+                "ici_bytes_per_step_per_shard": ici_bytes_per_step,
+                "shards": n,
+                "max_iters": args.max_iters,
+                "kernel": sim.kernel,
+                "av_last": float(np.asarray(jax.device_get(av[-1]))),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
