@@ -196,13 +196,22 @@ def _compute(
     aw2: float,
     accelerate: jax.Array,  # bool scalar: window holds global row ny-2
 ):
-    """Shared kernel body: body force, pull-stream, BGK+bounce-back, reduce."""
+    """Shared kernel body: body force, pull-stream, BGK+bounce-back, reduce.
+
+    The mask may arrive as float32 (whole-grid variants) or int8 (the
+    blocked variant streams the static mask from HBM every step — int8
+    cuts that traffic 4x).  int8 is widened to f32 once per block before
+    any comparison: Mosaic cannot relayout the (32,128)-tiled i1 vectors
+    that direct sub-byte compares produce (observed "Invalid relayout ...
+    vector<1024xi1>" on v5e), while the block-level i8->f32 convert is a
+    standard supported relayout."""
     f32 = jnp.float32
+    maskf = mask_ref[...].astype(f32)
 
     # --- fused accelerate_flow ---------------------------------------------
     # Window row by-1 is global row ny-2 when `accelerate` is set; its
     # obstacle mask is center row by-2.
-    fluid_row = mask_ref[by - 2, :] > f32(0.5)
+    fluid_row = maskf[by - 2, :] > f32(0.5)
     okf = _body_force_okf(exts, fluid_row, by - 1, aw1, aw2, accelerate)
     for k, sign in _KICK:
         s = sign * (aw1 if k in (1, 3) else aw2)
@@ -219,7 +228,7 @@ def _compute(
         cy, cx = int(CY[k]), int(CX[k])
         tmp.append(_roll_x(exts[k][1 - cy : 1 - cy + by, :], cx))
 
-    fluid = mask_ref[...] > f32(0.5)
+    fluid = maskf > f32(0.5)
     outs, part = _collide(tmp, fluid, omega)
 
     for k in range(NSPEEDS):
@@ -436,6 +445,9 @@ def build_fused_program(
     call = build_blocked_kernel(
         ny, nx, by, kw["omega"], kw["aw1"], kw["aw2"], interpret=interpret
     )
+    # The blocked kernel re-streams the static mask from HBM every step;
+    # int8 cuts that 1/19 of the traffic to 1/4 of a plane.
+    fluid_i8 = fluid_host.astype(np.int8)
 
     def init(f):
         gs = jnp.transpose(f[:, south_rows, :], (1, 0, 2))
@@ -444,7 +456,7 @@ def build_fused_program(
 
     def step(carry):
         f, gs, gn = carry
-        f_new, gs_new, gn_new, tot = call(f, gs, gn, jnp.asarray(fluid_host))
+        f_new, gs_new, gn_new, tot = call(f, gs, gn, jnp.asarray(fluid_i8))
         return (f_new, gs_new, gn_new), tot[0, 0] * fcinv
 
     return StepProgram(init=init, step=step, final=lambda c: c[0])

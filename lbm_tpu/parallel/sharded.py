@@ -297,8 +297,9 @@ def make_sharded_fused_run(
     p_loc = ny_loc // by
     w1, w2 = accel_weights(params)
     fcinv = np.float32(free_cells_inv)
+    # int8 mask: the blocked kernel streams it every step (see fused.py).
     fluid_global = jnp.asarray(
-        (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+        (~np.asarray(obstacles, dtype=bool)).astype(np.int8)
     )
     call = build_blocked_kernel(
         ny_loc,
@@ -427,15 +428,16 @@ def make_sharded_fused_2d_run(
     w1, w2 = accel_weights(params)
     fcinv = np.float32(free_cells_inv)
     omega = float(np.float32(params.omega))
-    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.int8)
     # Padded global mask [ny, px*W]: per x-shard block = [fluid, 0-pad],
     # so the (AXIS, AXIS_X) sharding hands each shard its [nyl, W] tile.
+    # int8: the blocked kernel streams the mask every step (see fused.py).
     fluid_pad_host = np.concatenate(
         [
             np.concatenate(
                 [
                     fluid_host[:, i * nxl : (i + 1) * nxl],
-                    np.zeros((ny, pad), np.float32),
+                    np.zeros((ny, pad), np.int8),
                 ],
                 axis=1,
             )
@@ -475,7 +477,7 @@ def make_sharded_fused_2d_run(
         # The kick row ny-2 is local row nyl-2 of the last y-shard (every
         # x-shard along it kicks its own lanes).
         kick_gate = (yshard == py - 1).astype(jnp.float32)
-        fluid_b = fluid_loc > jnp.float32(0.5)
+        fluid_b = fluid_loc != 0
 
         def kick(f):
             r = f[:, nyl - 2, :]  # [9, W] static row slice
