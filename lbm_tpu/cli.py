@@ -120,13 +120,15 @@ def _run_sharded(args, params, obstacles) -> int:
         import jax
 
         with jax.profiler.trace(args.profile):
-            res = sim.run()
+            res = sim.run(readback="fields")
     else:
-        res = sim.run()
+        res = sim.run(readback="fields")
     _epilogue(res)
     outdir = pathlib.Path(args.output_dir)
     outdir.mkdir(parents=True, exist_ok=True)
-    write_final_state(outdir / "final_state.dat", params, res.f, obstacles)
+    write_final_state(
+        outdir / "final_state.dat", params, res.f, obstacles, fields=res.fields
+    )
     write_av_vels(outdir / "av_vels.dat", res.av_vels)
     return 0
 

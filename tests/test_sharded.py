@@ -197,6 +197,18 @@ def test_sharded_2d_interior_column(eight_devices):
     np.testing.assert_array_equal(sharded.f, single.f)
 
 
+def test_sharded_fields_readback(eight_devices):
+    """Sharded fields readback must agree with the state readback."""
+    params = dataclasses.replace(PARAMS, max_iters=20)
+    obstacles = channel_box(PARAMS.nx, PARAMS.ny)
+    sim = ShardedSimulator(params, obstacles, mesh=default_mesh(4))
+    state = sim.run()
+    fields = sim.run(readback="fields")
+    assert fields.f is None and fields.fields.shape == (4, PARAMS.ny, PARAMS.nx)
+    np.testing.assert_array_equal(state.av_vels, fields.av_vels)
+    assert abs(state.reynolds - fields.reynolds) / abs(state.reynolds) < 1e-4
+
+
 def test_bench_sharded_smoke(eight_devices, capsys):
     """The weak-scaling harness (BASELINE.json configs[4], scaled down)
     runs end-to-end on the virtual mesh and reports per-chip MLUPS."""
