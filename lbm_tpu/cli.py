@@ -70,8 +70,6 @@ def cmd_run(args: argparse.Namespace) -> int:
         if args.device is not None:
             raise SystemExit("--device cannot be combined with --shards "
                              "(the mesh spans devices)")
-        if args.checkpoint_dir:
-            raise SystemExit("--checkpoint-dir is not supported with --shards")
         return _run_sharded(args, params, obstacles)
     sim = Simulator(
         params,
@@ -116,13 +114,21 @@ def _run_sharded(args, params, obstacles) -> int:
         params, obstacles, mesh=default_mesh(args.shards), kernel=args.kernel
     )
     sim.compiled()
+
+    def go():
+        if args.checkpoint_dir:
+            return sim.run_checkpointed(
+                args.checkpoint_dir, every=args.checkpoint_every
+            )
+        return sim.run(readback="fields")
+
     if args.profile:
         import jax
 
         with jax.profiler.trace(args.profile):
-            res = sim.run(readback="fields")
+            res = go()
     else:
-        res = sim.run(readback="fields")
+        res = go()
     _epilogue(res)
     outdir = pathlib.Path(args.output_dir)
     outdir.mkdir(parents=True, exist_ok=True)

@@ -894,11 +894,20 @@ def choose_temporal(ny: int, nx: int, max_iters: int) -> tuple[int, int] | None:
 
 
 def pick_chunk(max_iters: int, limit: int = 256) -> int:
-    """Largest divisor of ``max_iters`` not exceeding ``limit``."""
+    """Largest divisor of ``max_iters`` not exceeding ``limit``.
+
+    Prefers a multiple of 8: the multi-step kernel's internal unroll is
+    ``gcd(chunk, 8)``-deep, and Mosaic only pipelines across unrolled
+    steps — chunk=250 (unroll 2) measures ~40% slower per step than
+    chunk=200 (unroll 8) at 256² on v5e.
+    """
+    best_any = 1
     for c in range(min(limit, max_iters), 0, -1):
         if max_iters % c == 0:
-            return c
-    return 1
+            if c % 8 == 0:
+                return c
+            best_any = max(best_any, c)
+    return best_any
 
 
 def make_fused_program(

@@ -753,20 +753,19 @@ class ShardedSimulator:
             kernel = "fused" if jax.default_backend() == "tpu" else "reference"
         self.kernel = kernel
         self.interpret = interpret
-        self._run = None
-        self._iters = None
+        self._compiled: dict[int, Callable] = {}
 
     def compiled(self, max_iters: int | None = None):
         if max_iters is None:
             max_iters = self.params.max_iters
-        if self._run is None or self._iters != max_iters:
+        if max_iters not in self._compiled:
             if AXIS_X in self.mesh.shape:
                 # 2-D decomposition: the fused Pallas path (blocked kernel
                 # on an x-padded tile, two-phase ghost exchange) when the
                 # tile admits a row-block split, else the jnp step.
-                self._run = None
+                run = None
                 if self.kernel in ("fused", "temporal"):
-                    self._run = make_sharded_fused_2d_run(
+                    run = make_sharded_fused_2d_run(
                         self.params,
                         self.obstacles,
                         self.free_cells_inv,
@@ -774,8 +773,8 @@ class ShardedSimulator:
                         max_iters,
                         interpret=self.interpret,
                     )
-                if self._run is None:
-                    self._run = make_sharded_2d_run(
+                if run is None:
+                    run = make_sharded_2d_run(
                         self.params,
                         self.obstacles,
                         self.free_cells_inv,
@@ -783,7 +782,7 @@ class ShardedSimulator:
                         max_iters,
                     )
             elif self.kernel in ("fused", "temporal"):
-                self._run = make_sharded_temporal_run(
+                run = make_sharded_temporal_run(
                     self.params,
                     self.obstacles,
                     self.free_cells_inv,
@@ -791,13 +790,13 @@ class ShardedSimulator:
                     max_iters,
                     interpret=self.interpret,
                 )
-                if self._run is None:
+                if run is None:
                     if self.kernel == "temporal":
                         raise ValueError(
                             "no valid temporal (BY, K) split for this "
                             "grid/mesh/max_iters"
                         )
-                    self._run = make_sharded_fused_run(
+                    run = make_sharded_fused_run(
                         self.params,
                         self.obstacles,
                         self.free_cells_inv,
@@ -806,18 +805,21 @@ class ShardedSimulator:
                         interpret=self.interpret,
                     )
             else:
-                self._run = make_sharded_run(
+                run = make_sharded_run(
                     self.params,
                     self.obstacles,
                     self.free_cells_inv,
                     self.mesh,
                     max_iters,
                 )
-            self._iters = max_iters
-        return self._run
+            self._compiled[max_iters] = run
+        return self._compiled[max_iters]
 
     def run(
-        self, max_iters: int | None = None, readback: str = "state"
+        self,
+        max_iters: int | None = None,
+        readback: str = "state",
+        f0: np.ndarray | None = None,
     ) -> ShardedRunResult:
         """``readback="fields"`` derives (u_x, u_y, |u|, pressure) on the
         mesh (elementwise over the existing sharding — no resharding) and
@@ -851,7 +853,12 @@ class ShardedSimulator:
                 return jnp.stack([ux, uy, speed, pressure])
 
         tic = time.perf_counter()
-        f0 = jax.device_put(init_cells(self.params), sharding)
+        f0 = jax.device_put(
+            init_cells(self.params)
+            if f0 is None
+            else jnp.asarray(f0, jnp.float32),
+            sharding,
+        )
         f_fin, av = fn(f0)
         out_host = np.asarray(
             jax.device_get(finalize(f_fin) if finalize else f_fin)
@@ -866,5 +873,41 @@ class ShardedSimulator:
             obstacles=self.obstacles,
             free_cells_inv=float(self.free_cells_inv),
             elapsed=toc - tic,
+            n_shards=self.mesh.shape[AXIS],
+        )
+
+    def run_checkpointed(
+        self,
+        checkpoint_dir: str,
+        every: int,
+        max_iters: int | None = None,
+        resume: bool = True,
+    ) -> ShardedRunResult:
+        """Segmented sharded run with checkpoint/resume (same contract as
+        ``Simulator.run_checkpointed``; the snapshot stores the gathered
+        global f, so a run can even resume on a different mesh size)."""
+        from lbm_tpu.runtime import run_segments_checkpointed
+
+        if max_iters is None:
+            max_iters = self.params.max_iters
+        f, av, elapsed = run_segments_checkpointed(
+            run_segment=lambda seg, f0: self.run(max_iters=seg, f0=f0),
+            precompile=self.compiled,
+            params=self.params,
+            obstacles=self.obstacles,
+            checkpoint_dir=checkpoint_dir,
+            every=every,
+            max_iters=max_iters,
+            resume=resume,
+        )
+        if f is None:
+            return self.run(max_iters=0)
+        return ShardedRunResult(
+            params=dataclasses.replace(self.params, max_iters=max_iters),
+            f=np.asarray(f),
+            av_vels=av,
+            obstacles=self.obstacles,
+            free_cells_inv=float(self.free_cells_inv),
+            elapsed=elapsed,
             n_shards=self.mesh.shape[AXIS],
         )

@@ -321,69 +321,97 @@ class Simulator:
         The reference has no restart capability (SURVEY §5.4) — a crashed
         80k-step run starts over; this closes that gap.
         """
-        from lbm_tpu import checkpoint as ckpt
-
         if max_iters is None:
             max_iters = self.params.max_iters
-        if every <= 0:
-            raise ValueError(f"checkpoint interval must be positive: {every}")
-
-        start = 0
-        av_parts: list[np.ndarray] = []
-        f = None
-        if resume:
-            loaded = ckpt.load(checkpoint_dir)
-            if loaded is not None:
-                loaded.validate(self.params, self.obstacles)
-                if loaded.step > max_iters:
-                    raise ValueError(
-                        f"checkpoint at step {loaded.step} is beyond "
-                        f"max_iters={max_iters}"
-                    )
-                start = loaded.step
-                av_parts.append(np.asarray(loaded.av_vels))
-                f = loaded.f
-
-        # Precompile every distinct segment length (at most two: ``every``
-        # and the final remainder) so no AOT compile lands mid-run inside
-        # the timed region.
-        remaining = max_iters - start
-        if remaining >= every:
-            self.compiled(every)
-        tail = remaining % every if remaining >= every else remaining
-        if tail:
-            self.compiled(tail)
-
-        tic = time.perf_counter()
-        step = start
-        while step < max_iters:
-            seg = min(every, max_iters - step)
-            res = self.run(max_iters=seg, f0=f)
-            f = res.f
-            av_parts.append(res.av_vels)
-            step += seg
-            ckpt.save(
-                checkpoint_dir,
-                self.params,
-                self.obstacles,
-                step,
-                f,
-                np.concatenate(av_parts) if av_parts else np.zeros(0),
-            )
-        toc = time.perf_counter()
-
+        f, av, elapsed = run_segments_checkpointed(
+            run_segment=lambda seg, f0: self.run(max_iters=seg, f0=f0),
+            precompile=self.compiled,
+            params=self.params,
+            obstacles=self.obstacles,
+            checkpoint_dir=checkpoint_dir,
+            every=every,
+            max_iters=max_iters,
+            resume=resume,
+        )
         if f is None:  # zero remaining work and nothing checkpointed
             return self.run(max_iters=0)
-        av = (
-            np.concatenate(av_parts)
-            if av_parts
-            else np.zeros(0, dtype=np.float32)
-        )
         return RunResult(
             params=dataclasses.replace(self.params, max_iters=max_iters),
             f=np.asarray(f),
             av_vels=av,
             obstacles=self.obstacles,
             free_cells_inv=float(self.free_cells_inv),
-            elapsed=toc - tic,
+            elapsed=elapsed,
         )
+
+
+def run_segments_checkpointed(
+    *,
+    run_segment: Callable[[int, np.ndarray | None], Any],
+    precompile: Callable[[int], Any],
+    params: LBMParams,
+    obstacles: np.ndarray,
+    checkpoint_dir: str,
+    every: int,
+    max_iters: int,
+    resume: bool,
+) -> tuple[np.ndarray | None, np.ndarray, float]:
+    """Shared checkpointed-segment driver (single-chip and sharded runs).
+
+    ``run_segment(seg, f0)`` must return an object with ``.f`` and
+    ``.av_vels``; returns ``(f_final, av_vels, elapsed)`` with ``f_final``
+    None when there was no work at all.
+    """
+    from lbm_tpu import checkpoint as ckpt
+
+    if every <= 0:
+        raise ValueError(f"checkpoint interval must be positive: {every}")
+
+    start = 0
+    av_parts: list[np.ndarray] = []
+    f = None
+    if resume:
+        loaded = ckpt.load(checkpoint_dir)
+        if loaded is not None:
+            loaded.validate(params, obstacles)
+            if loaded.step > max_iters:
+                raise ValueError(
+                    f"checkpoint at step {loaded.step} is beyond "
+                    f"max_iters={max_iters}"
+                )
+            start = loaded.step
+            av_parts.append(np.asarray(loaded.av_vels))
+            f = loaded.f
+
+    # Precompile every distinct segment length (at most two: ``every``
+    # and the final remainder) so no AOT compile lands mid-run inside
+    # the timed region.
+    remaining = max_iters - start
+    if remaining >= every:
+        precompile(every)
+    tail = remaining % every if remaining >= every else remaining
+    if tail:
+        precompile(tail)
+
+    tic = time.perf_counter()
+    step = start
+    while step < max_iters:
+        seg = min(every, max_iters - step)
+        res = run_segment(seg, f)
+        f = res.f
+        av_parts.append(res.av_vels)
+        step += seg
+        ckpt.save(
+            checkpoint_dir,
+            params,
+            obstacles,
+            step,
+            f,
+            np.concatenate(av_parts) if av_parts else np.zeros(0),
+        )
+    elapsed = time.perf_counter() - tic
+
+    av = (
+        np.concatenate(av_parts) if av_parts else np.zeros(0, dtype=np.float32)
+    )
+    return f, av, elapsed

@@ -65,6 +65,28 @@ def test_resume_rejects_wrong_grid(tmp_path):
         other.run_checkpointed(tmp_path, every=10)
 
 
+def test_sharded_checkpoint_resume(tmp_path):
+    """Sharded segmented runs resume to the same trajectory; the snapshot
+    stores gathered global state, so the mesh size may even change."""
+    import jax
+
+    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    obstacles = channel_box(64, 32)
+    cont = ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(4)).run()
+    sim = ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(4))
+    sim.run_checkpointed(tmp_path, every=8, max_iters=16)  # "crash" at 16
+    # resume on a DIFFERENT mesh size
+    res = ShardedSimulator(
+        PARAMS, obstacles, mesh=default_mesh(2)
+    ).run_checkpointed(tmp_path, every=8)
+    np.testing.assert_array_equal(cont.f, res.f)
+    np.testing.assert_allclose(cont.av_vels, res.av_vels, rtol=1e-5)
+    assert ckpt.load(tmp_path).step == 30
+
+
 def test_checkpoint_beyond_max_iters(tmp_path):
     make_sim().run_checkpointed(tmp_path, every=10, max_iters=20)
     with pytest.raises(ValueError, match="beyond"):

@@ -199,8 +199,36 @@ def test_shards_rejects_unsupported_flags(small_case):
     ]
     with pytest.raises(SystemExit, match="--device"):
         cli.main(base + ["--device", "0"])
-    with pytest.raises(SystemExit, match="--checkpoint-dir"):
-        cli.main(base + ["--checkpoint-dir", str(small_case / "ck")])
+
+
+def test_shards_with_checkpointing(small_case, capsys):
+    """--shards + --checkpoint-dir runs segmented over the mesh."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    rc = cli.main(
+        [
+            "run",
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case / "shck"),
+            "--shards",
+            "2",
+            "--max-iters",
+            "30",
+            "--checkpoint-dir",
+            str(small_case / "ckdir"),
+            "--checkpoint-every",
+            "10",
+        ]
+    )
+    assert rc == 0
+    assert "==done==" in capsys.readouterr().out
+    from lbm_tpu import checkpoint as ckpt
+
+    assert ckpt.load(small_case / "ckdir").step == 30
 
 
 def test_run_on_nondefault_device(small_case, capsys):

@@ -169,9 +169,12 @@ def test_temporal_blocking_k4():
 def test_pick_chunk():
     from lbm_tpu.ops.fused import pick_chunk
 
-    assert pick_chunk(40000) == 250
-    assert pick_chunk(20000) == 250
-    assert pick_chunk(80000) == 250
+    # multiples of 8 preferred: the multi-step kernel unrolls gcd(chunk, 8)
+    assert pick_chunk(40000) == 200
+    assert pick_chunk(20000) == 200
+    assert pick_chunk(80000) == 200
+    assert pick_chunk(2048) == 256
+    assert pick_chunk(250) == 250  # no multiple-of-8 divisor: largest wins
     assert pick_chunk(7) == 7
     assert pick_chunk(1) == 1
     assert pick_chunk(997) == 1  # prime > limit
