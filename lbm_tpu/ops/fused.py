@@ -479,8 +479,7 @@ def _step_kernel_multi(
     fluid = mask_ref[...] > f32(0.5)
     fluid_row = mask_ref[ny - 2, :] > f32(0.5)
 
-    def body(t, f):
-        planes = [f[k] for k in range(NSPEEDS)]
+    def body(t, planes):
         okf = _body_force_okf(
             planes, fluid_row, ny - 2, aw1, aw2, jnp.bool_(True)
         )
@@ -501,18 +500,22 @@ def _step_kernel_multi(
             tmp.append(p)
         outs, part = _collide(tmp, fluid, omega)
         avs_ref[t, 0] = part
-        return jnp.stack(outs)
+        return outs
 
     # Partially unrolled time loop: Mosaic pipelines across unrolled steps
-    # (full unroll of hundreds of steps would blow up compile time).
+    # (full unroll of hundreds of steps would blow up compile time).  The
+    # fori carry must be one array, but within the unrolled body the 9
+    # planes travel as a list — re-stacking between steps materialized
+    # extra whole-grid copies.
     unroll = 8
     while steps % unroll:
         unroll //= 2
 
     def outer(t8, f):
+        planes = [f[k] for k in range(NSPEEDS)]
         for j in range(unroll):
-            f = body(t8 * unroll + j, f)
-        return f
+            planes = body(t8 * unroll + j, planes)
+        return jnp.stack(planes)
 
     out_ref[...] = jax.lax.fori_loop(0, steps // unroll, outer, c_ref[...])
 
@@ -647,8 +650,7 @@ def _step_kernel_temporal(
             )
         return out
 
-    def body(s, f):
-        planes = [f[k] for k in range(NSPEEDS)]
+    def body(s, planes):
         planes = kick_row(
             planes, by + ksteps - 2, (i == last) & (gate_ref[0, 0] > 0)
         )
@@ -704,18 +706,20 @@ def _step_kernel_temporal(
         def _():
             avs_ref[s, 0] += part
 
-        return jnp.stack(outs)
+        return outs
 
     # Unrolled internal time loop (K is small and static): Mosaic pipelines
     # across the unrolled steps — measured 73.9 -> 56.7 us/step at 1024^2
-    # (BY=128, K=8) versus a fori_loop.
-    final = jnp.stack(planes)
+    # (BY=128, K=8) versus a fori_loop.  The 9 planes are passed through
+    # the unrolled steps as a LIST — stacking into a [9, byext, nx] array
+    # between steps materialized two extra full-window copies per step.
+    final = planes
     for s in range(ksteps):
         final = body(s, final)
     for k in range(NSPEEDS):
-        out_ref[k, :, :] = final[k, ksteps : ksteps + by, :]
-        gn_out[0, :, k, :] = final[k, ksteps : 2 * ksteps, :]
-        gs_out[0, :, k, :] = final[k, by : by + ksteps, :]
+        out_ref[k, :, :] = final[k][ksteps : ksteps + by, :]
+        gn_out[0, :, k, :] = final[k][ksteps : 2 * ksteps, :]
+        gs_out[0, :, k, :] = final[k][by : by + ksteps, :]
 
 
 def build_temporal_program(
