@@ -24,6 +24,10 @@ def _load(av_vels_path: str, final_state_path: str | None):
 
 
 def _report(name: str, ref: np.ndarray, sim: np.ndarray, where) -> float:
+    if ref.size == 0:
+        print(f"Total difference in {name} : 0 (empty series)")
+        print()
+        return 0.0
     diff = ref - sim
     with np.errstate(divide="ignore", invalid="ignore"):
         pct = 100.0 * diff / sim
@@ -53,8 +57,17 @@ def compare_files(
     stripped the 256x256/1024x1024 ``final_state`` goldens, keeping only
     their ``av_vels`` — ``check/.MISSING_LARGE_BLOBS``).
     """
+    # Either both final_state files or neither: silently narrowing the
+    # check when the caller supplied one of them would hide a mistake.
+    if (ref_final_state is None) != (final_state is None):
+        missing = (
+            "--ref-final-state-file" if ref_final_state is None
+            else "--final-state-file"
+        )
+        print(f"final_state comparison requested but {missing} is missing")
+        return False
     av_ref, fs_ref = _load(ref_av_vels, ref_final_state)
-    av_sim, fs_sim = _load(av_vels, final_state if fs_ref is not None else None)
+    av_sim, fs_sim = _load(av_vels, final_state)
 
     if fs_ref is not None:
         if fs_sim is None:

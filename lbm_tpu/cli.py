@@ -77,7 +77,11 @@ def cmd_run(args: argparse.Namespace) -> int:
         kernel=args.kernel,
         device=select_device(args.device),
     )
-    sim.compiled()  # JIT outside the timed region, like clBuildProgram
+    # AOT-compile the variant that will actually run, outside the timed
+    # region (like clBuildProgram).  Checkpointed runs precompile their
+    # own segment-length programs inside run_checkpointed.
+    if not args.checkpoint_dir:
+        sim.compiled(readback="fields")
 
     def go():
         if args.checkpoint_dir:
@@ -96,7 +100,14 @@ def cmd_run(args: argparse.Namespace) -> int:
             res = go()
     else:
         res = go()
-    _epilogue(res, steps_per_pass=sim.chunk())
+    # For checkpointed runs the executed programs are segment-length; use
+    # the main segment's chunk for bandwidth accounting.
+    chunk_iters = (
+        min(args.checkpoint_every, params.max_iters)
+        if args.checkpoint_dir
+        else params.max_iters
+    )
+    _epilogue(res, steps_per_pass=sim.chunk(chunk_iters))
     outdir = pathlib.Path(args.output_dir)
     outdir.mkdir(parents=True, exist_ok=True)
     write_final_state(
@@ -129,7 +140,12 @@ def _run_sharded(args, params, obstacles) -> int:
             res = go()
     else:
         res = go()
-    _epilogue(res)
+    chunk_iters = (
+        min(args.checkpoint_every, params.max_iters)
+        if args.checkpoint_dir
+        else params.max_iters
+    )
+    _epilogue(res, steps_per_pass=sim.chunk(chunk_iters))
     outdir = pathlib.Path(args.output_dir)
     outdir.mkdir(parents=True, exist_ok=True)
     write_final_state(

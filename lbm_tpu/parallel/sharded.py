@@ -400,6 +400,18 @@ def make_sharded_fused_2d_run(
        ring and are scattered into the ghost lanes of the center tile and
        of every ghost-row slot.
 
+    Note on the "never re-gather halos from f" invariant (CLAUDE.md): it
+    applies to the Y halos, which this path still carries through the
+    ghost-roundtrip slots.  The X ghost *columns* are necessarily gathered
+    from ``f`` each step — they must cross devices, so they have to be
+    materialized as a ``ppermute`` operand either way; emitting them as
+    extra kernel outputs would require 1-lane output blocks (below the
+    128-lane tiling minimum) or 128x over-wide edge blocks.  The gather is
+    two columns + six 1-lane scatters per step (O(nyl) cells vs the
+    kernel's O(nyl·nxl)); this path cannot be perf-validated on the
+    single-chip environment regardless, so correctness (equality tests)
+    is the bar it is held to.
+
     Returns None when the padded local tile admits no valid row-block
     split (caller falls back to the jnp 2-D path).
     """
@@ -754,6 +766,7 @@ class ShardedSimulator:
         self.kernel = kernel
         self.interpret = interpret
         self._compiled: dict[int, Callable] = {}
+        self._chunks: dict[int, int] = {}
 
     def compiled(self, max_iters: int | None = None):
         if max_iters is None:
@@ -790,6 +803,18 @@ class ShardedSimulator:
                     max_iters,
                     interpret=self.interpret,
                 )
+                if run is not None:
+                    # record the temporal chunk (timesteps per kernel pass)
+                    # for variant-aware bandwidth accounting
+                    from lbm_tpu.ops.fused import choose_temporal
+
+                    picked = choose_temporal(
+                        self.params.ny // self.mesh.shape[AXIS],
+                        self.params.nx,
+                        max_iters,
+                    )
+                    if picked is not None:
+                        self._chunks[max_iters] = picked[1]
                 if run is None:
                     if self.kernel == "temporal":
                         raise ValueError(
@@ -815,6 +840,13 @@ class ShardedSimulator:
             self._compiled[max_iters] = run
         return self._compiled[max_iters]
 
+    def chunk(self, max_iters: int | None = None) -> int:
+        """Timesteps per kernel pass of the compiled program (K for the
+        temporal sharded path, 1 otherwise)."""
+        if max_iters is None:
+            max_iters = self.params.max_iters
+        return self._chunks.get(max_iters, 1)
+
     def run(
         self,
         max_iters: int | None = None,
@@ -825,6 +857,9 @@ class ShardedSimulator:
         mesh (elementwise over the existing sharding — no resharding) and
         fetches 4 planes instead of the 9 f-planes; at 4096² that is
         256 MB instead of 576 MB over the host link."""
+        from lbm_tpu.runtime import check_readback, final_fields_fn
+
+        check_readback(readback)
         if max_iters is None:
             max_iters = self.params.max_iters
         fn = self.compiled(max_iters)
@@ -834,23 +869,18 @@ class ShardedSimulator:
             sharding = NamedSharding(self.mesh, P(None, AXIS, None))
         finalize = None
         if readback == "fields":
-            fluid = jnp.asarray(~self.obstacles)
-            rest_p = jnp.float32(self.params.density / 3.0)
-
-            @jax.jit
-            def finalize(f):
-                rho = jnp.sum(f, axis=0)
-                ux = jnp.where(
-                    fluid, (f[1] + f[5] + f[8] - f[3] - f[6] - f[7]) / rho, 0.0
-                )
-                uy = jnp.where(
-                    fluid, (f[2] + f[5] + f[6] - f[4] - f[7] - f[8]) / rho, 0.0
-                )
-                speed = jnp.sqrt(ux * ux + uy * uy)
-                pressure = jnp.where(
-                    fluid, rho * jnp.float32(1.0 / 3.0), rest_p
-                )
-                return jnp.stack([ux, uy, speed, pressure])
+            # AOT-compile the field derivation outside the timed region,
+            # like the step program itself.
+            spec = jax.ShapeDtypeStruct(
+                (NSPEEDS, self.params.ny, self.params.nx),
+                jnp.float32,
+                sharding=sharding,
+            )
+            finalize = (
+                jax.jit(final_fields_fn(self.params, self.obstacles))
+                .lower(spec)
+                .compile()
+            )
 
         tic = time.perf_counter()
         f0 = jax.device_put(

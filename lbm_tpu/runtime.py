@@ -34,6 +34,34 @@ from lbm_tpu.ops.reference import init_cells, make_step_fn
 
 StepFn = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
 
+READBACK_MODES = ("state", "fields")
+
+
+def final_fields_fn(params: LBMParams, obstacles: np.ndarray):
+    """Device-side ``f -> [u_x, u_y, |u|, pressure]`` (the complete
+    ``final_state.dat`` payload, ``d2q9-bgk.c:789-836`` semantics: u = 0
+    and pressure = density/3 on obstacle cells).  Shared by the
+    single-chip and sharded fields-readback paths."""
+    fluid = jnp.asarray(~np.asarray(obstacles, dtype=bool))
+    rest_pressure = jnp.float32(params.density / 3.0)
+
+    def fields(f):
+        rho = jnp.sum(f, axis=0)
+        ux = jnp.where(fluid, (f[1] + f[5] + f[8] - f[3] - f[6] - f[7]) / rho, 0.0)
+        uy = jnp.where(fluid, (f[2] + f[5] + f[6] - f[4] - f[7] - f[8]) / rho, 0.0)
+        speed = jnp.sqrt(ux * ux + uy * uy)
+        pressure = jnp.where(fluid, rho * jnp.float32(1.0 / 3.0), rest_pressure)
+        return jnp.stack([ux, uy, speed, pressure])
+
+    return fields
+
+
+def check_readback(readback: str) -> None:
+    if readback not in READBACK_MODES:
+        raise ValueError(
+            f"readback must be one of {READBACK_MODES}, got {readback!r}"
+        )
+
 
 def select_device(spec: str | int | None = None) -> jax.Device:
     """Pick the compute device (``LBM_DEVICE`` env analog of OCL_DEVICE)."""
@@ -155,23 +183,6 @@ class Simulator:
 
     # -- compiled program ---------------------------------------------------
 
-    def _final_fields_fn(self):
-        """Device-side ``f -> [u_x, u_y, |u|, pressure]`` (the complete
-        ``final_state.dat`` payload, ``d2q9-bgk.c:789-836`` semantics:
-        u = 0 and pressure = density/3 on obstacle cells)."""
-        fluid = jnp.asarray(~self.obstacles)
-        rest_pressure = jnp.float32(self.params.density / 3.0)
-
-        def fields(f):
-            rho = jnp.sum(f, axis=0)
-            ux = jnp.where(fluid, (f[1] + f[5] + f[8] - f[3] - f[6] - f[7]) / rho, 0.0)
-            uy = jnp.where(fluid, (f[2] + f[5] + f[6] - f[4] - f[7] - f[8]) / rho, 0.0)
-            speed = jnp.sqrt(ux * ux + uy * uy)
-            pressure = jnp.where(fluid, rho * jnp.float32(1.0 / 3.0), rest_pressure)
-            return jnp.stack([ux, uy, speed, pressure])
-
-        return fields
-
     def _build(self, max_iters: int, fallback_level: int = 0,
                readback: str = "state"):
         """fallback_level: 0 = chunked/temporal kernels allowed, 1 =
@@ -188,7 +199,9 @@ class Simulator:
         assert max_iters % program.chunk == 0
         self._chunks[max_iters] = program.chunk
         finalize = (
-            self._final_fields_fn() if readback == "fields" else (lambda f: f)
+            final_fields_fn(self.params, self.obstacles)
+            if readback == "fields"
+            else (lambda f: f)
         )
 
         def body(carry, _):
@@ -218,6 +231,7 @@ class Simulator:
         ``clBuildProgram`` inside ``initialise()`` — it happens before the
         run timer starts.
         """
+        check_readback(readback)
         if max_iters is None:
             max_iters = self.params.max_iters
         key = (max_iters, readback)

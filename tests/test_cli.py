@@ -301,6 +301,41 @@ def test_checker_av_only_mode(tmp_path, capsys):
     assert "av_vels passed!" in capsys.readouterr().out
 
 
+def test_checker_rejects_asymmetric_final_state_flags(tmp_path):
+    """Supplying only one of the two final_state files must fail, not
+    silently narrow to an av_vels-only check."""
+    a = tmp_path / "a.dat"
+    fs = tmp_path / "fs.dat"
+    a.write_text("0:\t1.00E-05\n")
+    fs.write_text("0 0 0.0E+00 0.0E+00 0.0E+00 3.3E-02 1\n")
+    assert not compare_files(
+        ref_av_vels=str(a), av_vels=str(a), final_state=str(fs)
+    )
+    assert not compare_files(
+        ref_av_vels=str(a), ref_final_state=str(fs), av_vels=str(a)
+    )
+
+
+def test_checker_empty_series(tmp_path):
+    """Two empty av_vels series compare gracefully (no IndexError)."""
+    a = tmp_path / "a.dat"
+    a.write_text("")
+    assert compare_files(ref_av_vels=str(a), av_vels=str(a))
+
+
+def test_invalid_readback_mode_rejected():
+    import dataclasses
+
+    from lbm_tpu.config import CANONICAL_PARAMS
+    from lbm_tpu.geometry import canonical_obstacles
+    from lbm_tpu.runtime import Simulator
+
+    params = dataclasses.replace(CANONICAL_PARAMS["128x128"], max_iters=5)
+    sim = Simulator(params, canonical_obstacles("128x128"), kernel="reference")
+    with pytest.raises(ValueError, match="readback"):
+        sim.run(readback="field")
+
+
 def test_checker_fails_on_nan_percent_diff(tmp_path):
     """ref==sim==0 at a step yields a NaN %-diff; the reference checker's
     argmax lands on it and fails — NaNs must not be skipped."""
