@@ -581,6 +581,85 @@ def build_multi_step_program(
     )
 
 
+def _window_advance(
+    planes: list[jax.Array],  # 9 x [BY+2K, nx] window at time t
+    fluid: jax.Array,  # [BY+2K, nx] bool window fluid mask
+    gate_interior: jax.Array,  # bool: apply interior kick (row BY+K-2)
+    gate_wrap: jax.Array,  # bool: apply south-wrap kick (row K-2)
+    *,
+    by: int,
+    ksteps: int,
+    nx: int,
+    omega: float,
+    aw1: float,
+    aw2: float,
+) -> tuple[list[jax.Array], list[jax.Array]]:
+    """Advance one trapezoidal window ``ksteps`` timesteps.
+
+    Shared body of the temporal pallas kernel and the megakernel.  Returns
+    ``(final_planes, parts)`` where ``parts[s]`` is the center-rows
+    |u|-sum after internal step ``s``.  The loop is fully unrolled (K is
+    small and static): Mosaic pipelines across the unrolled steps —
+    measured 73.9 -> 56.7 us/step at 1024^2 versus a fori_loop.  The 9
+    planes travel as a LIST (stacking between steps materialized two
+    extra full-window copies per step).
+    """
+    f32 = jnp.float32
+    byext = by + 2 * ksteps
+
+    def kick_row(planes, row: int, gate):
+        okf = _body_force_okf(planes, fluid[row, :], row, aw1, aw2, gate)
+        out = []
+        for k in range(NSPEEDS):
+            sg = dict(_KICK).get(k)
+            if sg is None:
+                out.append(planes[k])
+                continue
+            sv = sg * (aw1 if k in (1, 3) else aw2)
+            kicked = planes[k][row : row + 1, :] + (okf * f32(sv))[None, :]
+            out.append(
+                jnp.concatenate(
+                    [planes[k][:row, :], kicked, planes[k][row + 1 :, :]],
+                    axis=0,
+                )
+            )
+        return out
+
+    parts = []
+    for _s in range(ksteps):
+        planes = kick_row(planes, by + ksteps - 2, gate_interior)
+        planes = kick_row(planes, ksteps - 2, gate_wrap)
+        tmp = []
+        for k in range(NSPEEDS):
+            cy, cx = int(CY[k]), int(CX[k])
+            p = planes[k]
+            if cy:
+                # Edge rows wrap garbage into garbage: they leave the
+                # valid region this step anyway.
+                p = pltpu.roll(p, cy % byext, 0)
+            if cx:
+                p = pltpu.roll(p, cx % nx, 1)
+            tmp.append(p)
+        outs, _ = _collide(tmp, fluid, omega, want_part=False)
+
+        # av over OWNED rows only (the center), valid at every step.
+        ctr = [t[ksteps : ksteps + by, :] for t in tmp]
+        rho = functools.reduce(jnp.add, ctr)
+        mxc = ctr[1] + ctr[5] + ctr[8] - ctr[3] - ctr[6] - ctr[7]
+        myc = ctr[2] + ctr[5] + ctr[6] - ctr[4] - ctr[7] - ctr[8]
+        parts.append(
+            jnp.sum(
+                jnp.where(
+                    fluid[ksteps : ksteps + by, :],
+                    jnp.sqrt(mxc * mxc + myc * myc) / rho,
+                    f32(0.0),
+                )
+            )
+        )
+        planes = outs
+    return planes, parts
+
+
 def _step_kernel_temporal(
     c_ref,  # [9, BY, nx]       center rows at time t
     gs_ref,  # [1, K, 9, nx]    rows [R0-K, R0) at time t
@@ -620,7 +699,6 @@ def _step_kernel_temporal(
     f32 = jnp.float32
     i = pl.program_id(0)
     last = pl.num_programs(0) - 1
-    byext = by + 2 * ksteps
     fluid = maskext_ref[0, :, :] > f32(0.5)
 
     planes = [
@@ -629,93 +707,28 @@ def _step_kernel_temporal(
         )
         for k in range(NSPEEDS)
     ]
-
-    def kick_row(planes, row: int, gate):
-        okf = _body_force_okf(
-            planes, fluid[row, :], row, aw1, aw2, gate
-        )
-        out = []
-        for k in range(NSPEEDS):
-            s = dict(_KICK).get(k)
-            if s is None:
-                out.append(planes[k])
-                continue
-            sv = s * (aw1 if k in (1, 3) else aw2)
-            kicked = planes[k][row : row + 1, :] + (okf * f32(sv))[None, :]
-            out.append(
-                jnp.concatenate(
-                    [planes[k][:row, :], kicked, planes[k][row + 1 :, :]],
-                    axis=0,
-                )
-            )
-        return out
-
-    def body(s, planes):
-        planes = kick_row(
-            planes, by + ksteps - 2, (i == last) & (gate_ref[0, 0] > 0)
-        )
-        planes = kick_row(
-            planes, ksteps - 2, (i == 0) & (gate_ref[0, 1] > 0)
-        )
-        tmp = []
-        for k in range(NSPEEDS):
-            cy, cx = int(CY[k]), int(CX[k])
-            p = planes[k]
-            if cy:
-                # Edge rows wrap garbage into garbage: they leave the valid
-                # region this step anyway.
-                p = pltpu.roll(p, cy % byext, 0)
-            if cx:
-                p = pltpu.roll(p, cx % nx, 1)
-            tmp.append(p)
-        outs, _ = _collide(tmp, fluid, omega, want_part=False)
-
-        # av over OWNED rows only (the center), valid at every step.
-        rho = functools.reduce(
-            jnp.add, [t[ksteps : ksteps + by, :] for t in tmp]
-        )
-        mxc = (
-            tmp[1][ksteps : ksteps + by, :]
-            + tmp[5][ksteps : ksteps + by, :]
-            + tmp[8][ksteps : ksteps + by, :]
-            - tmp[3][ksteps : ksteps + by, :]
-            - tmp[6][ksteps : ksteps + by, :]
-            - tmp[7][ksteps : ksteps + by, :]
-        )
-        myc = (
-            tmp[2][ksteps : ksteps + by, :]
-            + tmp[5][ksteps : ksteps + by, :]
-            + tmp[6][ksteps : ksteps + by, :]
-            - tmp[4][ksteps : ksteps + by, :]
-            - tmp[7][ksteps : ksteps + by, :]
-            - tmp[8][ksteps : ksteps + by, :]
-        )
-        part = jnp.sum(
-            jnp.where(
-                fluid[ksteps : ksteps + by, :],
-                jnp.sqrt(mxc * mxc + myc * myc) / rho,
-                f32(0.0),
-            )
-        )
+    final, parts = _window_advance(
+        planes,
+        fluid,
+        (i == last) & (gate_ref[0, 0] > 0),
+        (i == 0) & (gate_ref[0, 1] > 0),
+        by=by,
+        ksteps=ksteps,
+        nx=nx,
+        omega=omega,
+        aw1=aw1,
+        aw2=aw2,
+    )
+    for s, part in enumerate(parts):
 
         @pl.when(i == 0)
-        def _():
+        def _(s=s, part=part):
             avs_ref[s, 0] = part
 
         @pl.when(i > 0)
-        def _():
+        def _(s=s, part=part):
             avs_ref[s, 0] += part
 
-        return outs
-
-    # Unrolled internal time loop (K is small and static): Mosaic pipelines
-    # across the unrolled steps — measured 73.9 -> 56.7 us/step at 1024^2
-    # (BY=128, K=8) versus a fori_loop.  The 9 planes are passed through
-    # the unrolled steps as a LIST — stacking into a [9, byext, nx] array
-    # between steps materialized two extra full-window copies per step.
-    final = planes
-    for s in range(ksteps):
-        final = body(s, final)
     for k in range(NSPEEDS):
         out_ref[k, :, :] = final[k][ksteps : ksteps + by, :]
         gn_out[0, :, k, :] = final[k][ksteps : 2 * ksteps, :]
@@ -868,6 +881,280 @@ def build_temporal_kernel(
         ),
         input_output_aliases={0: 0},
         interpret=interpret,
+    )
+
+
+def _step_kernel_mega(
+    f_hbm,  # ANY [9, ny, nx] (aliased to fout_hbm)
+    gs0_hbm,  # ANY [P, 9, K, nx] initial south ghost slabs
+    gn0_hbm,  # ANY [P, 9, K, nx]
+    mask_ref,  # VMEM [P, BY+2K, nx] int8 per-block extended fluid masks
+    fout_hbm,  # ANY [9, ny, nx]
+    gs_fin_hbm,  # ANY [P, 9, K, nx] final south ghost slabs
+    gn_fin_hbm,  # ANY [P, 9, K, nx]
+    avs_ref,  # SMEM [T*K, 1]
+    win,  # VMEM scratch (2, 9, BY, nx): center in/out staging
+    ghosts,  # VMEM scratch (2, 2, P, 9, K, nx): parity x (south, north)
+    sem_in,  # DMA (2,)
+    sem_out,  # DMA (2,)
+    sem_misc,  # DMA (4,)
+    *,
+    by: int,
+    ksteps: int,
+    tpasses: int,
+    ny: int,
+    nx: int,
+    omega: float,
+    aw1: float,
+    aw2: float,
+):
+    """Megakernel: ``tpasses`` temporal K-passes over the whole grid in ONE
+    pallas_call, with manually pipelined DMA.
+
+    Motivation (measured, docs/PERF.md): in the scan-of-pallas_call
+    temporal schedule the per-step cost is almost exactly DMA floor +
+    compute (47 us = 19.7 + 27), i.e. Mosaic's automatic pipeline does NOT
+    overlap the center-block DMA with compute when the f buffer is
+    aliased in place.  Here ``f`` stays in HBM (ANY memory space) and the
+    kernel overlaps explicitly: while block ``i`` computes its K internal
+    steps, block ``i+1``'s center rows are prefetched and block ``i-1``'s
+    results are written back (classic 2-deep double buffering, one DMA
+    semaphore pair per direction).
+
+    In-place safety over the aliased HBM f (no Mosaic hazard tracking in
+    ANY space — the ordering proof is ours):
+
+    * prefetch(j+1) reads rows of block (i+1)%P at the state written in
+      pass p-1 (or p for the wrap into the next pass) — always a region
+      whose writeback completed >= P-1 iterations earlier (P >= 2);
+    * writeback(j) and prefetch(j+1) touch disjoint row bands;
+    * the buffer-reuse waits (sem_out) guarantee writeback(j-1) has
+      landed before win[(j+1)%2] is overwritten by prefetch(j+1).
+
+    Ghost slabs never touch HBM during the call: they live in a
+    parity-double-buffered VMEM scratch (pass p reads parity p%2, writes
+    parity (p+1)%2 — double-buffered because slot (i+-1)%P of the SAME
+    pass must not be clobbered before its owner reads it).  Layout is
+    ``[P, 9, K, nx]`` so the tiled trailing dims (K, nx) pad nothing.
+    The body-force gates are the single-chip ones (interior kick on the
+    last block, wrap kick on block 0) — the sharded paths keep the
+    scan-of-pallas_call schedule.
+    """
+    f32 = jnp.float32
+    grid_p = ny // by
+
+    # --- load initial ghost state into parity 0 -----------------------------
+    init_s = pltpu.make_async_copy(gs0_hbm, ghosts.at[0, 0], sem_misc.at[0])
+    init_n = pltpu.make_async_copy(gn0_hbm, ghosts.at[0, 1], sem_misc.at[1])
+    init_s.start()
+    init_n.start()
+    init_s.wait()
+    init_n.wait()
+
+    def dma_in(i: int, slot: int):
+        # Read through the OUTPUT ref: it is aliased to the input, and
+        # pass p+1 must see pass p's writebacks (reading the input ref
+        # returns stale pre-call data in interpret mode).
+        return pltpu.make_async_copy(
+            fout_hbm.at[:, pl.ds(i * by, by), :], win.at[slot], sem_in.at[slot]
+        )
+
+    def dma_out(i: int, slot: int):
+        return pltpu.make_async_copy(
+            win.at[slot], fout_hbm.at[:, pl.ds(i * by, by), :], sem_out.at[slot]
+        )
+
+    dma_in(0, 0).start()
+    total = tpasses * grid_p
+
+    def loop(j, carry):
+        p = jax.lax.div(j, grid_p)
+        i = jax.lax.rem(j, grid_p)
+        slot = jax.lax.rem(j, 2)
+        other = jax.lax.rem(j + 1, 2)
+        par = jax.lax.rem(p, 2)
+        npar = jax.lax.rem(p + 1, 2)
+
+        # Free the other staging buffer (writeback j-1), then prefetch j+1.
+        @pl.when(j >= 1)
+        def _():
+            dma_out(jax.lax.rem(j - 1, grid_p), other).wait()
+
+        @pl.when(j + 1 < total)
+        def _():
+            dma_in(jax.lax.rem(j + 1, grid_p), other).start()
+
+        dma_in(i, slot).wait()
+
+        planes = [
+            jnp.concatenate(
+                [
+                    ghosts[par, 0, i, k, :, :],
+                    win[slot, k, :, :],
+                    ghosts[par, 1, i, k, :, :],
+                ],
+                axis=0,
+            )
+            for k in range(NSPEEDS)
+        ]
+        fluid = mask_ref[i].astype(f32) > f32(0.5)
+        final, parts = _window_advance(
+            planes,
+            fluid,
+            i == grid_p - 1,
+            i == 0,
+            by=by,
+            ksteps=ksteps,
+            nx=nx,
+            omega=omega,
+            aw1=aw1,
+            aw2=aw2,
+        )
+        ip1 = jax.lax.rem(i + 1, grid_p)
+        im1 = jax.lax.rem(i - 1 + grid_p, grid_p)
+        for k in range(NSPEEDS):
+            win[slot, k, :, :] = final[k][ksteps : ksteps + by, :]
+            ghosts[npar, 0, ip1, k, :, :] = final[k][by : by + ksteps, :]
+            ghosts[npar, 1, im1, k, :, :] = final[k][ksteps : 2 * ksteps, :]
+
+        base = p * ksteps
+        for s, part in enumerate(parts):
+
+            @pl.when(i == 0)
+            def _(s=s, part=part):
+                avs_ref[base + s, 0] = part
+
+            @pl.when(i > 0)
+            def _(s=s, part=part):
+                avs_ref[base + s, 0] += part
+
+        dma_out(i, slot).start()
+        return carry
+
+    jax.lax.fori_loop(0, total, loop, 0)
+    dma_out((total - 1) % grid_p, jax.lax.rem(total - 1, 2)).wait()
+
+    # --- flush final ghost state -------------------------------------------
+    fpar = tpasses % 2
+    fin_s = pltpu.make_async_copy(
+        ghosts.at[fpar, 0], gs_fin_hbm, sem_misc.at[2]
+    )
+    fin_n = pltpu.make_async_copy(
+        ghosts.at[fpar, 1], gn_fin_hbm, sem_misc.at[3]
+    )
+    fin_s.start()
+    fin_n.start()
+    fin_s.wait()
+    fin_n.wait()
+
+
+def build_mega_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    by: int,
+    ksteps: int,
+    tpasses: int,
+    *,
+    interpret: bool = False,
+) -> StepProgram:
+    """Megakernel program: ``chunk == tpasses * ksteps`` timesteps per
+    pallas_call (see :func:`_step_kernel_mega`).  Ghost slabs are carried
+    between calls as HBM arrays shaped [P, 9, K, nx]."""
+    ny, nx = params.ny, params.nx
+    grid_p = ny // by
+    if grid_p < 2:
+        raise ValueError("megakernel needs >= 2 row blocks")
+    if not 2 <= ksteps <= by - 2:
+        raise ValueError(f"need 2 <= K <= BY-2, got K={ksteps}, BY={by}")
+    aw1, aw2 = accel_weights(params)
+    fcinv = np.float32(free_cells_inv)
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.int8)
+    maskext_host = np.stack(
+        [
+            fluid_host[
+                np.arange(i * by - ksteps, i * by + by + ksteps) % ny, :
+            ]
+            for i in range(grid_p)
+        ]
+    )
+    south_rows = [
+        np.arange(i * by - ksteps, i * by) % ny for i in range(grid_p)
+    ]
+    north_rows = [
+        np.arange(i * by + by, i * by + by + ksteps) % ny
+        for i in range(grid_p)
+    ]
+    chunk = tpasses * ksteps
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    call = pl.pallas_call(
+        functools.partial(
+            _step_kernel_mega,
+            by=by,
+            ksteps=ksteps,
+            tpasses=tpasses,
+            ny=ny,
+            nx=nx,
+            omega=float(np.float32(params.omega)),
+            aw1=float(aw1),
+            aw2=float(aw2),
+        ),
+        grid=(1,),
+        in_specs=[
+            any_spec,
+            any_spec,
+            any_spec,
+            pl.BlockSpec(
+                (grid_p, by + 2 * ksteps, nx),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            any_spec,
+            any_spec,
+            any_spec,
+            pl.BlockSpec((chunk, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NSPEEDS, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((grid_p, NSPEEDS, ksteps, nx), jnp.float32),
+            jax.ShapeDtypeStruct((grid_p, NSPEEDS, ksteps, nx), jnp.float32),
+            jax.ShapeDtypeStruct((chunk, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, NSPEEDS, by, nx), jnp.float32),
+            pltpu.VMEM((2, 2, grid_p, NSPEEDS, ksteps, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(ny * nx * 110 * chunk),
+            bytes_accessed=int(2 * NSPEEDS * ny * nx * 4 * tpasses),
+            transcendentals=int(ny * nx * chunk),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )
+
+    def init(f):
+        gs = jnp.stack(
+            [f[:, rows, :] for rows in south_rows]
+        )  # [P, 9, K, nx]
+        gn = jnp.stack([f[:, rows, :] for rows in north_rows])
+        return (f, gs, gn)
+
+    def step(carry):
+        f, gs, gn = carry
+        f_new, gs_new, gn_new, avs = call(f, gs, gn, jnp.asarray(maskext_host))
+        return (f_new, gs_new, gn_new), avs[:, 0] * fcinv
+
+    return StepProgram(
+        init=init, step=step, final=lambda c: c[0], chunk=chunk
     )
 
 

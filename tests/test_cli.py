@@ -318,9 +318,13 @@ def test_checker_rejects_asymmetric_final_state_flags(tmp_path):
 
 def test_checker_empty_series(tmp_path):
     """Two empty av_vels series compare gracefully (no IndexError)."""
+    import warnings
+
     a = tmp_path / "a.dat"
     a.write_text("")
-    assert compare_files(ref_av_vels=str(a), av_vels=str(a))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # numpy's empty-input warning
+        assert compare_files(ref_av_vels=str(a), av_vels=str(a))
 
 
 def test_invalid_readback_mode_rejected():

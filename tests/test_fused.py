@@ -166,6 +166,65 @@ def test_temporal_blocking_k4():
     )
 
 
+def test_megakernel():
+    """Manual-DMA megakernel (T K-passes per pallas_call, interpret mode):
+    must reproduce the jnp reference step across call boundaries, incl.
+    the in-place HBM aliasing across passes and the parity-buffered ghost
+    state."""
+    from lbm_tpu.ops.fused import build_mega_program
+
+    params = LBMParams(128, 32, 24, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(128, 32, interior_row=13)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    f = init_cells(params)
+    ref_avs = []
+    for _ in range(24):
+        f, av = ref(f)
+        ref_avs.append(float(av))
+
+    for tpasses in (1, 3):
+        prog = build_mega_program(
+            params, obstacles, fcinv, by=8, ksteps=4, tpasses=tpasses,
+            interpret=True,
+        )
+        carry = prog.init(jnp.asarray(init_cells(params)))
+        avs = []
+        for _ in range(24 // prog.chunk):
+            carry, av = prog.step(carry)
+            avs.append(np.asarray(av))
+        # temporal-window algebra reorders FMA chains vs the plain step
+        np.testing.assert_allclose(
+            np.asarray(prog.final(carry)), np.asarray(f), rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.concatenate(avs), np.asarray(ref_avs), rtol=1e-4
+        )
+
+
+def test_megakernel_body_force_wrap():
+    """Kick row at the wrap boundary (block 0's south halo) with the
+    accel=0.01 physics of the 1024^2 case."""
+    from lbm_tpu.ops.fused import build_mega_program
+
+    params = LBMParams(128, 24, 12, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(128, 24)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    f = init_cells(params)
+    for _ in range(12):
+        f, _ = ref(f)
+    prog = build_mega_program(
+        params, obstacles, fcinv, by=4, ksteps=2, tpasses=2, interpret=True
+    )
+    carry = prog.init(jnp.asarray(init_cells(params)))
+    for _ in range(12 // prog.chunk):
+        carry, _ = prog.step(carry)
+    np.testing.assert_allclose(
+        np.asarray(prog.final(carry)), np.asarray(f), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_pick_chunk():
     from lbm_tpu.ops.fused import pick_chunk
 
