@@ -204,7 +204,8 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("paramfile")
     run.add_argument("obstaclefile")
     run.add_argument("--output-dir", default=".")
-    run.add_argument("--kernel", default="auto", choices=["auto", "fused", "reference"])
+    run.add_argument("--kernel", default="auto",
+                     choices=["auto", "fused", "mega", "reference"])
     run.add_argument("--device", default=None, help="device index (LBM_DEVICE analog)")
     run.add_argument("--max-iters", type=int, default=None)
     run.add_argument("--profile", default=None, metavar="TRACE_DIR",

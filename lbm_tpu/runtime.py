@@ -85,16 +85,46 @@ def make_program(
     kernel: str = "auto",
     max_iters: int | None = None,
 ):
-    """Step-program factory.  ``kernel``: 'auto' | 'fused' | 'reference'.
+    """Step-program factory.
+    ``kernel``: 'auto' | 'fused' | 'mega' | 'reference'.
 
     Returns a :class:`lbm_tpu.ops.fused.StepProgram` whose scan carry may
     hold extra state (e.g. the fused kernel's ghost-row buffers) and whose
     ``chunk`` may exceed 1 (multi-step kernels; requires ``max_iters``).
+    'mega' selects the manual-DMA megakernel (T temporal passes per
+    pallas_call; measures within ~8% of the temporal schedule — see
+    docs/PERF.md) and falls back to 'fused' when the grid admits no
+    (BY, K, T) split.
     """
     from lbm_tpu.ops.fused import StepProgram, make_fused_program
 
     if kernel == "auto":
         kernel = "fused" if jax.default_backend() == "tpu" else "reference"
+    if kernel == "mega":
+        from lbm_tpu.ops.fused import build_mega_program, choose_temporal
+
+        if max_iters is not None:
+            picked = choose_temporal(params.ny, params.nx, max_iters)
+            if picked is not None:
+                by, ksteps = picked
+                tpasses = next(
+                    (
+                        t
+                        for t in range(25, 0, -1)
+                        if max_iters % (t * ksteps) == 0
+                    ),
+                    None,
+                )
+                if tpasses is not None:
+                    return build_mega_program(
+                        params,
+                        obstacles,
+                        free_cells_inv,
+                        by,
+                        ksteps,
+                        tpasses,
+                    )
+        kernel = "fused"
     if kernel == "fused":
         return make_fused_program(
             params, obstacles, free_cells_inv, max_iters=max_iters

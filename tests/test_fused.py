@@ -225,6 +225,21 @@ def test_megakernel_body_force_wrap():
     )
 
 
+def test_make_program_mega_routing():
+    """kernel='mega' picks a (BY, K, T) split with chunk | max_iters and
+    falls back to fused without max_iters."""
+    from lbm_tpu.runtime import make_program
+
+    params = LBMParams(1024, 1024, 20000, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(1024, 1024)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    prog = make_program(params, obstacles, fcinv, "mega", max_iters=20000)
+    assert prog.chunk % 8 == 0 and 20000 % prog.chunk == 0
+    assert prog.chunk > 8  # a multi-pass megakernel, not plain temporal
+    fallback = make_program(params, obstacles, fcinv, "mega")
+    assert fallback.chunk == 1  # fused single-step path
+
+
 def test_pick_chunk():
     from lbm_tpu.ops.fused import pick_chunk
 
