@@ -2,7 +2,7 @@
 """Generate vendored golden data for the test suite (SURVEY §7.1, C12).
 
 Runs the independent float64 NumPy engine (``lbm_tpu/validation.py``) for a
-prefix of each canonical case and writes ``tests/goldens/<case>.av_vels.dat``
+prefix of each canonical case and writes ``tests/goldens/<case>.fp64gen_av_vels.dat``
 in the reference ``av_vels.dat`` format.  When the reference checkout is
 mounted, every generated series is cross-checked against the reference's own
 golden (``/root/reference/check/<case>.av_vels.dat``) before being written,
@@ -65,7 +65,7 @@ def generate(case: str, outdir: pathlib.Path) -> None:
         print("  (reference golden not mounted; skipping cross-check)")
 
     outdir.mkdir(parents=True, exist_ok=True)
-    out = outdir / f"{case}.av_vels.dat"
+    out = outdir / f"{case}.fp64gen_av_vels.dat"
     with open(out, "w") as fp:
         fp.writelines(f"{i}:\t{v:.12E}\n" for i, v in enumerate(av))
     print(f"  wrote {out}")
