@@ -87,6 +87,27 @@ def test_sharded_checkpoint_resume(tmp_path):
     assert ckpt.load(tmp_path).step == 30
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_random_crash_resume_cycles(tmp_path, seed):
+    """Property: any sequence of 'crashes' at random segment boundaries
+    resumes to the exact continuous trajectory."""
+    rng = np.random.default_rng(seed)
+    cont = make_sim().run()
+    every = int(rng.integers(3, 12))
+    d = tmp_path / f"ck{seed}"
+    # crash after 1..3 partial runs with random partial lengths, then finish
+    progress = 0
+    for _ in range(int(rng.integers(1, 4))):
+        if progress >= 30:
+            break
+        stop = int(rng.integers(progress + 1, 31))
+        make_sim().run_checkpointed(d, every=every, max_iters=stop)
+        progress = stop
+    res = make_sim().run_checkpointed(d, every=every)
+    np.testing.assert_array_equal(cont.f, res.f)
+    np.testing.assert_array_equal(cont.av_vels, res.av_vels)
+
+
 def test_checkpoint_beyond_max_iters(tmp_path):
     make_sim().run_checkpointed(tmp_path, every=10, max_iters=20)
     with pytest.raises(ValueError, match="beyond"):
