@@ -56,7 +56,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.config import LBMParams
-from lbm_tpu.ops.lattice import CX, CY, NSPEEDS, OPPOSITE, WEIGHTS
+from lbm_tpu.ops.lattice import (
+    CX,
+    CY,
+    KICK_SIGNS,
+    NSPEEDS,
+    OPPOSITE,
+    WEIGHTS,
+    kick_scale,
+)
 from lbm_tpu.ops.reference import accel_weights
 
 # Mosaic's default scoped-VMEM limit is 16 MiB, far below the v5e's
@@ -142,9 +150,6 @@ def _body_force_okf(
     return jnp.where(ok, f32(1.0), f32(0.0))
 
 
-_KICK = ((1, 1.0), (5, 1.0), (8, 1.0), (3, -1.0), (6, -1.0), (7, -1.0))
-
-
 def _collide(
     tmp: list[jax.Array], fluid: jax.Array, omega: float, want_part: bool = True
 ) -> tuple[list[jax.Array], jax.Array | None]:
@@ -213,8 +218,8 @@ def _compute(
     # obstacle mask is center row by-2.
     fluid_row = maskf[by - 2, :] > f32(0.5)
     okf = _body_force_okf(exts, fluid_row, by - 1, aw1, aw2, accelerate)
-    for k, sign in _KICK:
-        s = sign * (aw1 if k in (1, 3) else aw2)
+    for k in KICK_SIGNS:
+        s = kick_scale(k, aw1, aw2)
         # Static-slice row update (scatter is not lowerable on TPU Pallas).
         kicked = exts[k][by - 1 : by, :] + (okf * f32(s))[None, :]
         exts[k] = jnp.concatenate(
@@ -483,8 +488,8 @@ def _step_kernel_multi(
         okf = _body_force_okf(
             planes, fluid_row, ny - 2, aw1, aw2, jnp.bool_(True)
         )
-        for k, sign in _KICK:
-            s = sign * (aw1 if k in (1, 3) else aw2)
+        for k in KICK_SIGNS:
+            s = kick_scale(k, aw1, aw2)
             kicked = planes[k][ny - 2 : ny - 1, :] + (okf * f32(s))[None, :]
             planes[k] = jnp.concatenate(
                 [planes[k][: ny - 2, :], kicked, planes[k][ny - 1 :, :]], axis=0
@@ -611,11 +616,10 @@ def _window_advance(
         okf = _body_force_okf(planes, fluid[row, :], row, aw1, aw2, gate)
         out = []
         for k in range(NSPEEDS):
-            sg = dict(_KICK).get(k)
-            if sg is None:
+            sv = kick_scale(k, aw1, aw2)
+            if sv is None:
                 out.append(planes[k])
                 continue
-            sv = sg * (aw1 if k in (1, 3) else aw2)
             kicked = planes[k][row : row + 1, :] + (okf * f32(sv))[None, :]
             out.append(
                 jnp.concatenate(

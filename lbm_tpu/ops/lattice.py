@@ -36,6 +36,20 @@ WEST_SPEEDS = (3, 6, 7)
 NORTH_SPEEDS = (2, 5, 6)
 SOUTH_SPEEDS = (4, 7, 8)
 
+# Body-force kick (reference accelerate_flow, ``kernels.cl:35-42``): add
+# w1/w2 to the east-pointing speeds, subtract from the west-pointing ones;
+# axis speeds (1, 3) use weight w1 = rho*a/9, diagonals use w2 = rho*a/36.
+# The SINGLE definition — every kernel/path derives its kick from this.
+KICK_SIGNS = {1: 1.0, 5: 1.0, 8: 1.0, 3: -1.0, 6: -1.0, 7: -1.0}
+KICK_AXIS_SPEEDS = (1, 3)  # these take w1; the rest of KICK_SIGNS take w2
+
+
+def kick_scale(k: int, w1, w2):
+    """Signed kick increment for speed ``k`` (0 for unkicked speeds)."""
+    if k not in KICK_SIGNS:
+        return None
+    return KICK_SIGNS[k] * (w1 if k in KICK_AXIS_SPEEDS else w2)
+
 
 def sanity() -> None:
     """Internal consistency checks (used by tests)."""

@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lbm_tpu.config import LBMParams
 from lbm_tpu.geometry import free_cells_of
-from lbm_tpu.ops.lattice import CX, CY, NSPEEDS
+from lbm_tpu.ops.lattice import CX, CY, NSPEEDS, kick_scale
 from lbm_tpu.ops.reference import accel_weights, collide, init_cells
 
 AXIS = "y"
@@ -101,9 +101,9 @@ def _accelerate_masked(
     )
     okf = jnp.where(ok, jnp.float32(1.0), jnp.float32(0.0))
     updates = []
-    scale = {1: w1, 3: -w1, 5: w2, 6: -w2, 7: -w2, 8: w2}
     for k in range(NSPEEDS):
-        updates.append(f_loc[k] + okf * scale[k] if k in scale else f_loc[k])
+        s = kick_scale(k, w1, w2)
+        updates.append(f_loc[k] if s is None else f_loc[k] + okf * s)
     return jnp.stack(updates)
 
 
@@ -500,9 +500,12 @@ def make_sharded_fused_2d_run(
                 & (r[7] - w2 > 0.0)
             )
             okf = jnp.where(ok, jnp.float32(1.0), jnp.float32(0.0)) * kick_gate
-            scale = {1: w1, 3: -w1, 5: w2, 6: -w2, 7: -w2, 8: w2}
             r2 = jnp.stack(
-                [r[k] + okf * scale[k] if k in scale else r[k] for k in range(9)]
+                [
+                    r[k] if kick_scale(k, w1, w2) is None
+                    else r[k] + okf * kick_scale(k, w1, w2)
+                    for k in range(9)
+                ]
             )
             return jax.lax.dynamic_update_slice(f, r2[:, None, :], (0, nyl - 2, 0))
 
@@ -610,15 +613,23 @@ def make_sharded_temporal_run(
     n_shards = mesh.shape[AXIS]
     ny, nx = params.ny, params.nx
     if ny % n_shards != 0:
-        return None
+        raise ValueError(f"ny={ny} not divisible by mesh size {n_shards}")
     ny_loc = ny // n_shards
     if by is None or ksteps is None:
         picked = choose_temporal(ny_loc, nx, max_iters)
         if picked is None:
-            return None
+            return None  # no valid auto split; caller falls back
         by, ksteps = picked
+    # Explicitly-passed (by, ksteps) must be valid — a BY that doesn't
+    # divide ny_loc would leave the trailing rows of the aliased output
+    # silently un-advanced.
+    if ny_loc % by != 0:
+        raise ValueError(f"BY={by} does not divide local slab ny_loc={ny_loc}")
     if max_iters % ksteps != 0 or not 2 <= ksteps <= by - 2:
-        return None
+        raise ValueError(
+            f"need K | max_iters and 2 <= K <= BY-2 (K={ksteps}, BY={by}, "
+            f"max_iters={max_iters})"
+        )
     p_loc = ny_loc // by
     w1, w2 = accel_weights(params)
     fcinv = np.float32(free_cells_inv)
@@ -706,6 +717,9 @@ def make_sharded_temporal_run(
     def run(f_global: jax.Array):
         return sharded(f_global, jnp.asarray(maskext_host))
 
+    # Timesteps advanced per kernel pass — read by ShardedSimulator.chunk()
+    # for variant-aware bandwidth accounting.
+    run.chunk = ksteps
     return run
 
 
@@ -759,25 +773,44 @@ class ShardedSimulator:
                 f"{(params.ny, params.nx)}"
             )
         self.mesh = mesh if mesh is not None else default_mesh()
-        self.free_cells = free_cells_of(self.obstacles)
-        self.free_cells_inv = np.float32(1.0) / np.float32(self.free_cells)
         if kernel == "auto":
             kernel = "fused" if jax.default_backend() == "tpu" else "reference"
+        if kernel not in ("fused", "temporal", "reference"):
+            raise ValueError(
+                f"unknown sharded kernel {kernel!r}; choose auto | fused | "
+                "temporal | reference (the 'mega' variant is single-chip "
+                "only)"
+            )
+        self.free_cells = free_cells_of(self.obstacles)
+        self.free_cells_inv = np.float32(1.0) / np.float32(self.free_cells)
         self.kernel = kernel
         self.interpret = interpret
         self._compiled: dict[int, Callable] = {}
         self._chunks: dict[int, int] = {}
+        self._finalize = None
 
     def compiled(self, max_iters: int | None = None):
         if max_iters is None:
             max_iters = self.params.max_iters
         if max_iters not in self._compiled:
+            # Fail with the precise divisibility error regardless of which
+            # kernel variant would be routed to.
+            n_y = self.mesh.shape[AXIS]
+            if self.params.ny % n_y != 0:
+                raise ValueError(
+                    f"ny={self.params.ny} not divisible by mesh size {n_y}"
+                )
             if AXIS_X in self.mesh.shape:
                 # 2-D decomposition: the fused Pallas path (blocked kernel
                 # on an x-padded tile, two-phase ghost exchange) when the
                 # tile admits a row-block split, else the jnp step.
+                if self.kernel == "temporal":
+                    raise ValueError(
+                        "the temporal kernel is not available on 2-D "
+                        "meshes; use kernel='fused' (or a 1-D mesh)"
+                    )
                 run = None
-                if self.kernel in ("fused", "temporal"):
+                if self.kernel == "fused":
                     run = make_sharded_fused_2d_run(
                         self.params,
                         self.obstacles,
@@ -803,18 +836,6 @@ class ShardedSimulator:
                     max_iters,
                     interpret=self.interpret,
                 )
-                if run is not None:
-                    # record the temporal chunk (timesteps per kernel pass)
-                    # for variant-aware bandwidth accounting
-                    from lbm_tpu.ops.fused import choose_temporal
-
-                    picked = choose_temporal(
-                        self.params.ny // self.mesh.shape[AXIS],
-                        self.params.nx,
-                        max_iters,
-                    )
-                    if picked is not None:
-                        self._chunks[max_iters] = picked[1]
                 if run is None:
                     if self.kernel == "temporal":
                         raise ValueError(
@@ -837,6 +858,9 @@ class ShardedSimulator:
                     self.mesh,
                     max_iters,
                 )
+            # Timesteps per kernel pass, as reported by the factory that
+            # actually built the program (temporal attaches run.chunk).
+            self._chunks[max_iters] = getattr(run, "chunk", 1)
             self._compiled[max_iters] = run
         return self._compiled[max_iters]
 
@@ -869,18 +893,21 @@ class ShardedSimulator:
             sharding = NamedSharding(self.mesh, P(None, AXIS, None))
         finalize = None
         if readback == "fields":
-            # AOT-compile the field derivation outside the timed region,
-            # like the step program itself.
-            spec = jax.ShapeDtypeStruct(
-                (NSPEEDS, self.params.ny, self.params.nx),
-                jnp.float32,
-                sharding=sharding,
-            )
-            finalize = (
-                jax.jit(final_fields_fn(self.params, self.obstacles))
-                .lower(spec)
-                .compile()
-            )
+            if self._finalize is None:
+                # AOT-compile the field derivation outside the timed
+                # region, like the step program itself; cached (the grid
+                # and mesh are fixed per simulator).
+                spec = jax.ShapeDtypeStruct(
+                    (NSPEEDS, self.params.ny, self.params.nx),
+                    jnp.float32,
+                    sharding=sharding,
+                )
+                self._finalize = (
+                    jax.jit(final_fields_fn(self.params, self.obstacles))
+                    .lower(spec)
+                    .compile()
+                )
+            finalize = self._finalize
 
         tic = time.perf_counter()
         f0 = jax.device_put(

@@ -234,6 +234,41 @@ def test_bench_sharded_smoke(eight_devices, capsys):
     assert np.isfinite(payload["av_last"])
 
 
+def test_rejects_unknown_kernel(eight_devices):
+    obstacles = channel_box(PARAMS.nx, PARAMS.ny)
+    with pytest.raises(ValueError, match="unknown sharded kernel"):
+        ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2), kernel="mega")
+    with pytest.raises(ValueError, match="unknown sharded kernel"):
+        ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2), kernel="fuesd")
+
+
+def test_rejects_temporal_on_2d_mesh(eight_devices):
+    from lbm_tpu.parallel.sharded import default_mesh_2d
+
+    obstacles = channel_box(PARAMS.nx, PARAMS.ny)
+    sim = ShardedSimulator(
+        PARAMS, obstacles, mesh=default_mesh_2d(2, 2), kernel="temporal"
+    )
+    with pytest.raises(ValueError, match="not available on 2-D"):
+        sim.compiled()
+
+
+def test_temporal_rejects_bad_explicit_split(eight_devices):
+    from lbm_tpu.parallel.sharded import make_sharded_temporal_run
+
+    obstacles = channel_box(PARAMS.nx, 64)
+    params = dataclasses.replace(PARAMS, ny=64, max_iters=12)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    with pytest.raises(ValueError, match="does not divide"):
+        make_sharded_temporal_run(
+            params, obstacles, fcinv, default_mesh(2), by=12, ksteps=2
+        )
+    with pytest.raises(ValueError, match="K"):
+        make_sharded_temporal_run(
+            params, obstacles, fcinv, default_mesh(2), by=8, ksteps=7
+        )
+
+
 def test_rejects_indivisible_grid(eight_devices):
     params = dataclasses.replace(PARAMS, ny=36)
     obstacles = channel_box(params.nx, params.ny)
