@@ -19,8 +19,17 @@ from lbm_tpu.geometry import (
     load_obstacle_file,
     write_obstacle_file,
 )
-from lbm_tpu.io import read_av_vels, write_av_vels, write_final_state
-from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+from lbm_tpu.io import (
+    read_av_vels,
+    read_final_state,
+    write_av_vels,
+    write_final_state,
+)
+from lbm_tpu.parallel.sharded import (
+    ShardedSimulator,
+    default_mesh,
+    default_mesh_2d,
+)
 from lbm_tpu.runtime import RunResult, Simulator, select_device
 
 __version__ = "0.1.0"
@@ -36,9 +45,11 @@ __all__ = [
     "canonical_obstacles",
     "channel_box",
     "default_mesh",
+    "default_mesh_2d",
     "free_cells_of",
     "load_obstacle_file",
     "read_av_vels",
+    "read_final_state",
     "select_device",
     "total_density",
     "write_av_vels",

@@ -1090,7 +1090,7 @@ def build_mega_program(
         for i in range(grid_p)
     ]
     chunk = tpasses * ksteps
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     call = pl.pallas_call(
         functools.partial(
             _step_kernel_mega,
