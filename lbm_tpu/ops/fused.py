@@ -1163,25 +1163,50 @@ def build_mega_program(
 
 
 # Empirical VMEM budget for the temporal kernel's (BY+2K)-row working set
-# (fori_loop carry + stream/collide temporaries): cells per window, with
-# the raised VMEM limit.  (32+16)x4096 and (128+16)x1024 both fit.
+# (unrolled-step temporaries): cells per window, with the raised VMEM
+# limit.  (128+16)x1024 and (64+8)x4096 both fit; (64+32)x4096 (393k) and
+# (512+16)x1024 (540k) overflow.
 _TEMPORAL_WINDOW_BUDGET = 192 * 1024
 
 
+def _temporal_tuning(nx: int) -> tuple[int, int, tuple[int, ...]]:
+    """(block-cell budget, window-cell budget, preferred K order) —
+    empirically tuned on v5e (docs/PERF.md sweeps).
+
+    Narrow grids are HBM-amortization-bound: deep K wins ((128, 8) at
+    1024² = 47.0 µs vs 48.9 for K=4).  Wide grids (nx >= 4096) are
+    VPU/halo-waste-bound: the biggest VMEM-fitting window with shallow K
+    wins ((64, 4) at 4096² = 19.8 GLUPS vs 13.4 for the old (32, 8)
+    pick)."""
+    if nx >= 4096:
+        return 256 * 1024, 340 * 1024, (4, 8, 2)
+    return _BLOCK_CELL_BUDGET, _TEMPORAL_WINDOW_BUDGET, (8, 4, 2)
+
+
+def _largest_block_rows(ny: int, nx: int, budget: int) -> int | None:
+    """Largest power-of-two divisor of ny with by*nx <= budget (>= 3)."""
+    by = 1
+    while by * 2 <= ny and ny % (by * 2) == 0 and (by * 2) * nx <= budget:
+        by *= 2
+    if by * nx > budget or by < 3:
+        return None
+    return by
+
+
 def choose_temporal(ny: int, nx: int, max_iters: int) -> tuple[int, int] | None:
-    """Pick (BY, K) for the temporal kernel: prefer deep time blocks, keep
-    the (BY+2K)-row window within the VMEM budget, K | max_iters, K <= BY-2,
-    and BY a power-of-two divisor of ny with >= 2 blocks."""
-    by_max = choose_block_rows(ny, nx)
+    """Pick (BY, K) for the temporal kernel: K | max_iters, K <= BY-2,
+    BY a power-of-two divisor of ny with >= 2 blocks, window within the
+    VMEM budget; budgets and K preference are width-dependent (see
+    :func:`_temporal_tuning`)."""
+    block_budget, window_budget, k_pref = _temporal_tuning(nx)
+    by_max = _largest_block_rows(ny, nx, block_budget)
     if by_max is None or by_max >= ny:
         return None
-    # With the raised VMEM limit, deep blocks on wide BY win: (128, 8) at
-    # 1024^2 measured 71.3 us/step vs 74.9 for (64, 4).
-    for ksteps in (8, 4, 2):
+    for ksteps in k_pref:
         if max_iters % ksteps != 0:
             continue
         by = by_max
-        while by >= 4 and (by + 2 * ksteps) * nx > _TEMPORAL_WINDOW_BUDGET:
+        while by >= 4 and (by + 2 * ksteps) * nx > window_budget:
             by //= 2
         if by >= 4 and ksteps <= by - 2 and ny % by == 0 and ny // by >= 2:
             return by, ksteps
