@@ -1174,11 +1174,13 @@ def _temporal_tuning(nx: int) -> tuple[int, int, tuple[int, ...]]:
     empirically tuned on v5e (docs/PERF.md sweeps).
 
     Narrow grids are HBM-amortization-bound: deep K wins ((128, 8) at
-    1024² = 47.0 µs vs 48.9 for K=4).  Wide grids (nx >= 4096) are
+    1024² = 47.0 µs vs 48.9 for K=4).  Wide grids (nx >= 2048) are
     VPU/halo-waste-bound: the biggest VMEM-fitting window with shallow K
-    wins ((64, 4) at 4096² = 19.8 GLUPS vs 13.4 for the old (32, 8)
-    pick)."""
-    if nx >= 4096:
+    wins — (64, 4) at 4096² = 19.8 GLUPS vs 13.4 for the old (32, 8)
+    pick, and (128, 4) at 2048² = 22.3 GLUPS vs 19.0 for (64, 8).  (The
+    'wide grids are anomalously slow' lore was a tuning artifact: at the
+    right (BY, K) every size runs ~20-22 GLUPS pure-step.)"""
+    if nx >= 2048:
         return 256 * 1024, 340 * 1024, (4, 8, 2)
     return _BLOCK_CELL_BUDGET, _TEMPORAL_WINDOW_BUDGET, (8, 4, 2)
 

@@ -270,6 +270,7 @@ def test_choose_temporal():
     # for the old (32, 8) pick at 4096^2)
     assert choose_temporal(4096, 4096, 2000) == (64, 4)
     assert choose_temporal(512, 4096, 2000) == (64, 4)  # 8-shard local slab
+    assert choose_temporal(2048, 2048, 2000) == (128, 4)
     assert choose_temporal(256, 256, 1000) is None  # whole grid -> multi-step
 
 
