@@ -16,9 +16,13 @@ import numpy as np
 
 
 def _load(av_vels_path: str, final_state_path: str | None):
-    av = np.loadtxt(av_vels_path, usecols=[1], ndmin=1)
+    from lbm_tpu.io import read_av_vels
+
+    av = read_av_vels(av_vels_path)
     if final_state_path is None:
         return av, None
+    # Only the checker-relevant columns (x, y, pressure) — parsing all 7
+    # columns of a 1M-row final_state would double the compare time.
     fs = np.loadtxt(final_state_path, usecols=[0, 1, 5], ndmin=2)
     return av, fs
 
@@ -70,9 +74,8 @@ def compare_files(
     av_sim, fs_sim = _load(av_vels, final_state)
 
     if fs_ref is not None:
-        if fs_sim is None:
-            print("Reference has a final_state file but the run does not")
-            return False
+        # (fs_sim is non-None here: the both-or-neither guard above
+        # already rejected asymmetric combinations.)
         if fs_ref.shape != fs_sim.shape or (fs_ref[:, :2] != fs_sim[:, :2]).any():
             print("Final state files coordinates were not the same")
             return False

@@ -36,7 +36,7 @@ def _load_case(params_path: str, obstacles_path: str):
     return params, obstacles
 
 
-def _epilogue(res: RunResult, steps_per_pass: int = 1) -> None:
+def _epilogue(res: RunResult) -> None:
     """The reference's stdout contract plus TPU perf counters."""
     usage = resource.getrusage(resource.RUSAGE_SELF)
     print("==done==")
@@ -45,43 +45,29 @@ def _epilogue(res: RunResult, steps_per_pass: int = 1) -> None:
     print(f"Elapsed user CPU time:\t\t{usage.ru_utime:.6f} (s)")
     print(f"Elapsed system CPU time:\t{usage.ru_stime:.6f} (s)")
     # Perf readout (beyond the reference: MLUPS + effective HBM traffic).
+    # The result carries the executed-step count (resumes don't re-run the
+    # checkpointed prefix) and the kernel's steps-per-pass.
     from lbm_tpu.utils.profiling import PerfReport
 
+    steps = (
+        res.steps_timed if res.steps_timed is not None
+        else res.params.max_iters
+    )
     report = PerfReport(
         nx=res.params.nx,
         ny=res.params.ny,
-        steps=res.params.max_iters,
+        steps=steps,
         elapsed=res.elapsed,
-        steps_per_pass=steps_per_pass,
+        steps_per_pass=res.steps_per_pass,
     )
     print(f"MLUPS:\t\t\t\t{report.mlups:.1f}")
     print(f"Effective bandwidth:\t\t{report.effective_bandwidth_gbs:.1f} GB/s")
 
 
-def cmd_run(args: argparse.Namespace) -> int:
-    params, obstacles = _load_case(args.paramfile, args.obstaclefile)
-    if args.max_iters is not None:
-        import dataclasses
-
-        params = dataclasses.replace(params, max_iters=args.max_iters)
-    if args.shards and args.shards > 1:
-        # Flags the sharded path doesn't implement must fail loudly rather
-        # than be silently ignored.
-        if args.device is not None:
-            raise SystemExit("--device cannot be combined with --shards "
-                             "(the mesh spans devices)")
-        return _run_sharded(args, params, obstacles)
-    sim = Simulator(
-        params,
-        obstacles,
-        kernel=args.kernel,
-        device=select_device(args.device),
-    )
-    # AOT-compile the variant that will actually run, outside the timed
-    # region (like clBuildProgram).  Checkpointed runs precompile their
-    # own segment-length programs inside run_checkpointed.
-    if not args.checkpoint_dir:
-        sim.compiled(readback="fields")
+def _run_and_write(args, sim) -> int:
+    """Shared driver tail for the single-chip and sharded run paths:
+    execute (checkpointed or plain, optionally traced), print the
+    epilogue, write the output files."""
 
     def go():
         if args.checkpoint_dir:
@@ -100,21 +86,48 @@ def cmd_run(args: argparse.Namespace) -> int:
             res = go()
     else:
         res = go()
-    # For checkpointed runs the executed programs are segment-length; use
-    # the main segment's chunk for bandwidth accounting.
-    chunk_iters = (
-        min(args.checkpoint_every, params.max_iters)
-        if args.checkpoint_dir
-        else params.max_iters
-    )
-    _epilogue(res, steps_per_pass=sim.chunk(chunk_iters))
+    _epilogue(res)
     outdir = pathlib.Path(args.output_dir)
     outdir.mkdir(parents=True, exist_ok=True)
     write_final_state(
-        outdir / "final_state.dat", params, res.f, obstacles, fields=res.fields
+        outdir / "final_state.dat",
+        res.params,
+        res.f,
+        res.obstacles,
+        fields=res.fields,
     )
     write_av_vels(outdir / "av_vels.dat", res.av_vels)
     return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    params, obstacles = _load_case(args.paramfile, args.obstaclefile)
+    if args.max_iters is not None:
+        import dataclasses
+
+        params = dataclasses.replace(params, max_iters=args.max_iters)
+    if args.shards and args.shards > 1:
+        # Flags the sharded path doesn't implement must fail loudly rather
+        # than be silently ignored.
+        if args.device is not None:
+            raise SystemExit("--device cannot be combined with --shards "
+                             "(the mesh spans devices)")
+        if args.kernel == "mega":
+            raise SystemExit("--kernel mega is single-chip only; use "
+                             "fused/temporal with --shards")
+        return _run_sharded(args, params, obstacles)
+    sim = Simulator(
+        params,
+        obstacles,
+        kernel=args.kernel,
+        device=select_device(args.device),
+    )
+    # AOT-compile the variant that will actually run, outside the timed
+    # region (like clBuildProgram).  Checkpointed runs precompile their
+    # own segment-length programs inside run_checkpointed.
+    if not args.checkpoint_dir:
+        sim.compiled(readback="fields")
+    return _run_and_write(args, sim)
 
 
 def _run_sharded(args, params, obstacles) -> int:
@@ -124,35 +137,9 @@ def _run_sharded(args, params, obstacles) -> int:
     sim = ShardedSimulator(
         params, obstacles, mesh=default_mesh(args.shards), kernel=args.kernel
     )
-    sim.compiled()
-
-    def go():
-        if args.checkpoint_dir:
-            return sim.run_checkpointed(
-                args.checkpoint_dir, every=args.checkpoint_every
-            )
-        return sim.run(readback="fields")
-
-    if args.profile:
-        import jax
-
-        with jax.profiler.trace(args.profile):
-            res = go()
-    else:
-        res = go()
-    chunk_iters = (
-        min(args.checkpoint_every, params.max_iters)
-        if args.checkpoint_dir
-        else params.max_iters
-    )
-    _epilogue(res, steps_per_pass=sim.chunk(chunk_iters))
-    outdir = pathlib.Path(args.output_dir)
-    outdir.mkdir(parents=True, exist_ok=True)
-    write_final_state(
-        outdir / "final_state.dat", params, res.f, obstacles, fields=res.fields
-    )
-    write_av_vels(outdir / "av_vels.dat", res.av_vels)
-    return 0
+    if not args.checkpoint_dir:
+        sim.compiled()
+    return _run_and_write(args, sim)
 
 
 def cmd_bench(args: argparse.Namespace) -> int:
@@ -205,7 +192,7 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("obstaclefile")
     run.add_argument("--output-dir", default=".")
     run.add_argument("--kernel", default="auto",
-                     choices=["auto", "fused", "mega", "reference"])
+                     choices=["auto", "fused", "temporal", "mega", "reference"])
     run.add_argument("--device", default=None, help="device index (LBM_DEVICE analog)")
     run.add_argument("--max-iters", type=int, default=None)
     run.add_argument("--profile", default=None, metavar="TRACE_DIR",

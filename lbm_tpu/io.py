@@ -96,10 +96,12 @@ def write_av_vels(path: str | pathlib.Path, av_vels: np.ndarray) -> None:
 
 
 def read_av_vels(path: str | pathlib.Path) -> np.ndarray:
-    """Parse an ``av_vels.dat`` (ours or a reference golden)."""
-    return np.loadtxt(path, usecols=[1])
+    """Parse an ``av_vels.dat`` (ours or a reference golden); always 1-D
+    (a single-step file must not collapse to a 0-d scalar)."""
+    return np.loadtxt(path, usecols=[1], ndmin=1)
 
 
 def read_final_state(path: str | pathlib.Path) -> np.ndarray:
-    """Parse a ``final_state.dat`` into its full 7-column table."""
-    return np.loadtxt(path)
+    """Parse a ``final_state.dat`` into its full 7-column table; always
+    2-D (a single-cell file must not collapse to a row vector)."""
+    return np.loadtxt(path, ndmin=2)

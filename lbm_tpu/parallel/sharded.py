@@ -733,10 +733,16 @@ class ShardedRunResult:
     elapsed: float
     n_shards: int
     fields: np.ndarray | None = None  # [4, ny, nx] when readback="fields"
+    steps_timed: int | None = None  # see RunResult.steps_timed
+    steps_per_pass: int = 1
 
     @property
     def mlups(self) -> float:
-        cells = self.params.nx * self.params.ny * self.params.max_iters
+        steps = (
+            self.steps_timed if self.steps_timed is not None
+            else self.params.max_iters
+        )
+        cells = self.params.nx * self.params.ny * steps
         return cells / self.elapsed / 1e6 if self.elapsed > 0 else float("inf")
 
     @property
@@ -931,6 +937,8 @@ class ShardedSimulator:
             free_cells_inv=float(self.free_cells_inv),
             elapsed=toc - tic,
             n_shards=self.mesh.shape[AXIS],
+            steps_timed=max_iters,
+            steps_per_pass=self.chunk(max_iters),
         )
 
     def run_checkpointed(
@@ -947,7 +955,7 @@ class ShardedSimulator:
 
         if max_iters is None:
             max_iters = self.params.max_iters
-        f, av, elapsed = run_segments_checkpointed(
+        f, av, elapsed, executed = run_segments_checkpointed(
             run_segment=lambda seg, f0: self.run(max_iters=seg, f0=f0),
             precompile=self.compiled,
             params=self.params,
@@ -967,4 +975,8 @@ class ShardedSimulator:
             free_cells_inv=float(self.free_cells_inv),
             elapsed=elapsed,
             n_shards=self.mesh.shape[AXIS],
+            steps_timed=executed,
+            steps_per_pass=(
+                self.chunk(min(every, executed)) if executed else 1
+            ),
         )

@@ -100,6 +100,11 @@ def make_program(
 
     if kernel == "auto":
         kernel = "fused" if jax.default_backend() == "tpu" else "reference"
+    if kernel == "temporal":
+        # Single-chip alias: the fused path auto-selects the temporal
+        # variant when the grid admits one (the explicit name exists for
+        # the sharded API, where it forces K-slab exchange).
+        kernel = "fused"
     if kernel == "mega":
         from lbm_tpu.ops.fused import build_mega_program, choose_temporal
 
@@ -162,6 +167,13 @@ class RunResult:
     free_cells_inv: float
     elapsed: float  # seconds, upload -> download (reference's tic..toc)
     fields: np.ndarray | None = None  # [4, ny, nx] float32
+    # Timesteps actually executed within ``elapsed`` — differs from
+    # params.max_iters when a checkpointed run RESUMED partway (perf
+    # figures must not credit the pre-crash steps to this invocation).
+    steps_timed: int | None = None
+    # Timesteps per kernel pass of the program that ran (for variant-aware
+    # bandwidth accounting).
+    steps_per_pass: int = 1
 
     @property
     def reynolds(self) -> float:
@@ -179,8 +191,13 @@ class RunResult:
 
     @property
     def mlups(self) -> float:
-        """Million lattice-cell updates per second."""
-        cells = self.params.nx * self.params.ny * self.params.max_iters
+        """Million lattice-cell updates per second (of the steps this
+        invocation actually executed)."""
+        steps = (
+            self.steps_timed if self.steps_timed is not None
+            else self.params.max_iters
+        )
+        cells = self.params.nx * self.params.ny * steps
         return cells / self.elapsed / 1e6 if self.elapsed > 0 else float("inf")
 
 
@@ -349,6 +366,8 @@ class Simulator:
             obstacles=self.obstacles,
             free_cells_inv=float(self.free_cells_inv),
             elapsed=toc - tic,
+            steps_timed=max_iters,
+            steps_per_pass=self.chunk(max_iters),
         )
 
     def run_checkpointed(
@@ -367,7 +386,7 @@ class Simulator:
         """
         if max_iters is None:
             max_iters = self.params.max_iters
-        f, av, elapsed = run_segments_checkpointed(
+        f, av, elapsed, executed = run_segments_checkpointed(
             run_segment=lambda seg, f0: self.run(max_iters=seg, f0=f0),
             precompile=self.compiled,
             params=self.params,
@@ -386,6 +405,10 @@ class Simulator:
             obstacles=self.obstacles,
             free_cells_inv=float(self.free_cells_inv),
             elapsed=elapsed,
+            steps_timed=executed,
+            steps_per_pass=(
+                self.chunk(min(every, executed)) if executed else 1
+            ),
         )
 
 
@@ -399,12 +422,15 @@ def run_segments_checkpointed(
     every: int,
     max_iters: int,
     resume: bool,
-) -> tuple[np.ndarray | None, np.ndarray, float]:
+) -> tuple[np.ndarray | None, np.ndarray, float, int]:
     """Shared checkpointed-segment driver (single-chip and sharded runs).
 
     ``run_segment(seg, f0)`` must return an object with ``.f`` and
-    ``.av_vels``; returns ``(f_final, av_vels, elapsed)`` with ``f_final``
-    None when there was no work at all.
+    ``.av_vels``; returns ``(f_final, av_vels, elapsed, steps_executed)``
+    with ``f_final`` None when there was no work at all.
+    ``steps_executed`` counts only THIS invocation's steps (a resume does
+    not re-run the checkpointed prefix) — perf reporting must use it, not
+    ``max_iters``.
     """
     from lbm_tpu import checkpoint as ckpt
 
@@ -458,4 +484,4 @@ def run_segments_checkpointed(
     av = (
         np.concatenate(av_parts) if av_parts else np.zeros(0, dtype=np.float32)
     )
-    return f, av, elapsed
+    return f, av, elapsed, max_iters - start

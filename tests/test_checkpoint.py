@@ -108,6 +108,20 @@ def test_random_crash_resume_cycles(tmp_path, seed):
     np.testing.assert_array_equal(cont.av_vels, res.av_vels)
 
 
+def test_resume_reports_only_executed_steps(tmp_path):
+    """A resumed run's perf accounting must not credit the pre-crash
+    steps to this invocation (mlups was inflated ~N x before)."""
+    make_sim().run_checkpointed(tmp_path, every=10, max_iters=20)
+    res = make_sim().run_checkpointed(tmp_path, every=10)  # resumes 20->30
+    assert res.params.max_iters == 30  # full trajectory length
+    assert res.steps_timed == 10  # but only 10 steps ran here
+    assert res.av_vels.shape == (30,)
+    # resuming an already-complete run executes nothing
+    res2 = make_sim().run_checkpointed(tmp_path, every=10)
+    assert res2.steps_timed == 0
+    assert res2.mlups == 0 or res2.elapsed == 0
+
+
 def test_checkpoint_beyond_max_iters(tmp_path):
     make_sim().run_checkpointed(tmp_path, every=10, max_iters=20)
     with pytest.raises(ValueError, match="beyond"):
