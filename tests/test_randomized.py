@@ -18,7 +18,9 @@ from lbm_tpu.validation import run64
 
 def random_case(seed: int):
     rng = np.random.default_rng(seed)
-    ny = int(rng.choice([16, 32, 64]))
+    # include taller-than-wide grids (ny > nx): y is the blocked/sharded
+    # axis, so tall aspect ratios stress block counts and halos hardest
+    ny = int(rng.choice([16, 32, 64, 96, 128]))
     nx = int(rng.choice([32, 64, 128]))
     params = LBMParams(
         nx,
