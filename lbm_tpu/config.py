@@ -35,6 +35,12 @@ class LBMParams:
             raise ValueError(f"grid must be positive, got {self.nx}x{self.ny}")
         if self.max_iters < 0:
             raise ValueError(f"max_iters must be >= 0, got {self.max_iters}")
+        if not 0.0 < self.omega < 2.0:
+            # BGK stability bound; omega >= 2 also makes nu <= 0 and the
+            # Reynolds epilogue divide by zero.
+            raise ValueError(f"omega must be in (0, 2), got {self.omega}")
+        if self.density <= 0.0:
+            raise ValueError(f"density must be positive, got {self.density}")
 
     @property
     def viscosity(self) -> float:
@@ -51,10 +57,10 @@ class LBMParams:
         """Load the reference 7-line ``.params`` format."""
         text = pathlib.Path(path).read_text()
         fields = text.split()
-        if len(fields) < 7:
+        if len(fields) != 7:
             raise ValueError(
-                f"params file {path} needs 7 whitespace-separated values, "
-                f"got {len(fields)}"
+                f"params file {path} needs exactly 7 whitespace-separated "
+                f"values, got {len(fields)}"
             )
         nx, ny, max_iters, reynolds_dim = (int(v) for v in fields[:4])
         density, accel, omega = (float(v) for v in fields[4:7])

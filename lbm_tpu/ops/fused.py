@@ -598,12 +598,14 @@ def _window_advance(
     omega: float,
     aw1: float,
     aw2: float,
+    want_av: bool = True,
 ) -> tuple[list[jax.Array], list[jax.Array]]:
     """Advance one trapezoidal window ``ksteps`` timesteps.
 
     Shared body of the temporal pallas kernel and the megakernel.  Returns
     ``(final_planes, parts)`` where ``parts[s]`` is the center-rows
-    |u|-sum after internal step ``s``.  The loop is fully unrolled (K is
+    |u|-sum after internal step ``s`` (empty when ``want_av=False`` — used
+    by the ablation tool to isolate the reduction cost).  The loop is fully unrolled (K is
     small and static): Mosaic pipelines across the unrolled steps —
     measured 73.9 -> 56.7 us/step at 1024^2 versus a fori_loop.  The 9
     planes travel as a LIST (stacking between steps materialized two
@@ -646,20 +648,21 @@ def _window_advance(
             tmp.append(p)
         outs, _ = _collide(tmp, fluid, omega, want_part=False)
 
-        # av over OWNED rows only (the center), valid at every step.
-        ctr = [t[ksteps : ksteps + by, :] for t in tmp]
-        rho = functools.reduce(jnp.add, ctr)
-        mxc = ctr[1] + ctr[5] + ctr[8] - ctr[3] - ctr[6] - ctr[7]
-        myc = ctr[2] + ctr[5] + ctr[6] - ctr[4] - ctr[7] - ctr[8]
-        parts.append(
-            jnp.sum(
-                jnp.where(
-                    fluid[ksteps : ksteps + by, :],
-                    jnp.sqrt(mxc * mxc + myc * myc) / rho,
-                    f32(0.0),
+        if want_av:
+            # av over OWNED rows only (the center), valid at every step.
+            ctr = [t[ksteps : ksteps + by, :] for t in tmp]
+            rho = functools.reduce(jnp.add, ctr)
+            mxc = ctr[1] + ctr[5] + ctr[8] - ctr[3] - ctr[6] - ctr[7]
+            myc = ctr[2] + ctr[5] + ctr[6] - ctr[4] - ctr[7] - ctr[8]
+            parts.append(
+                jnp.sum(
+                    jnp.where(
+                        fluid[ksteps : ksteps + by, :],
+                        jnp.sqrt(mxc * mxc + myc * myc) / rho,
+                        f32(0.0),
+                    )
                 )
             )
-        )
         planes = outs
     return planes, parts
 

@@ -47,15 +47,6 @@ def accel_weights(params: LBMParams) -> tuple[np.float32, np.float32]:
     return da / np.float32(9.0), da / np.float32(36.0)
 
 
-def accel_row_delta() -> np.ndarray:
-    """Per-speed signed multiplier pattern of the body force.
-
-    +w1 on E(1); +w2 on NE(5), SE(8); -w1 on W(3); -w2 on NW(6), SW(7)
-    (``kernels.cl:36-42``), expressed in units of (w1, w1, w2).
-    """
-    return np.array([0, 1, 0, -1, 0, 1, -1, -1, 1], dtype=np.float32)
-
-
 def accelerate_flow(
     f: jax.Array,
     obstacles_row: jax.Array,
@@ -69,6 +60,8 @@ def accelerate_flow(
     west-side populations stay strictly positive after the kick
     (``kernels.cl:29-33``).
     """
+    from lbm_tpu.ops.lattice import kick_scale
+
     r = f[:, row, :]  # [9, nx]
     ok = (
         (~obstacles_row)
@@ -76,8 +69,9 @@ def accelerate_flow(
         & (r[6] - w2 > 0.0)
         & (r[7] - w2 > 0.0)
     )
+    per_speed = [kick_scale(k, w1, w2) for k in range(NSPEEDS)]
     scale = jnp.asarray(
-        [0.0, w1, 0.0, -w1, 0.0, w2, -w2, -w2, w2], dtype=f.dtype
+        [0.0 if s is None else s for s in per_speed], dtype=f.dtype
     )
     new_row = r + jnp.where(ok, 1.0, 0.0).astype(f.dtype) * scale[:, None]
     return f.at[:, row, :].set(new_row)

@@ -25,6 +25,21 @@ def test_validation():
         LBMParams(0, 128, 1, 10, 0.1, 0.005, 1.85)
     with pytest.raises(ValueError):
         LBMParams(128, 128, -1, 10, 0.1, 0.005, 1.85)
+    # omega outside the BGK stability bound would also divide-by-zero
+    # the Reynolds epilogue (nu = 0 at omega = 2)
+    with pytest.raises(ValueError, match="omega"):
+        LBMParams(128, 128, 1, 10, 0.1, 0.005, 2.0)
+    with pytest.raises(ValueError, match="omega"):
+        LBMParams(128, 128, 1, 10, 0.1, 0.005, 0.0)
+    with pytest.raises(ValueError, match="density"):
+        LBMParams(128, 128, 1, 10, 0.0, 0.005, 1.85)
+
+
+def test_from_file_rejects_extra_values(tmp_path):
+    path = tmp_path / "bad.params"
+    path.write_text("128\n128\n100\n10\n0.1\n0.005\n1.85\n42\n")
+    with pytest.raises(ValueError, match="exactly 7"):
+        LBMParams.from_file(path)
 
 
 @pytest.mark.parametrize("case", sorted(CANONICAL_PARAMS))

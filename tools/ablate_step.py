@@ -38,21 +38,26 @@ from lbm_tpu.config import CANONICAL_PARAMS
 from lbm_tpu.geometry import canonical_obstacles, free_cells_of
 from lbm_tpu.ops.fused import (
     _VMEM_LIMIT_BYTES,
-    _collide,
+    _window_advance,
     build_temporal_program,
 )
 from lbm_tpu.ops.lattice import CX, CY, NSPEEDS
-from lbm_tpu.ops.reference import init_cells
+from lbm_tpu.ops.reference import accel_weights, init_cells
 
 
-def _ablated_kernel(mode, by, ksteps, nx, omega):
-    """Temporal-schedule kernel with the body cut down to ``mode``."""
+def _ablated_kernel(mode, by, ksteps, nx, omega, aw1, aw2):
+    """Temporal-schedule kernel with the body cut down to ``mode``:
+    'noop' = DMA only; 'stream' = + pull rolls; 'collide' = the FULL
+    physics (kick + stream + collision) minus the av reduction, via
+    ``_window_advance(want_av=False)`` — so full - collide isolates the
+    reduction exactly."""
     byext = by + 2 * ksteps
 
     def kernel(c_ref, gs_ref, gn_ref, maskext_ref, out_ref, gs_out, gn_out,
                avs_ref):
         f32 = jnp.float32
         i = pl.program_id(0)
+        last = pl.num_programs(0) - 1
         fluid = maskext_ref[0, :, :] > f32(0.5)
         planes = [
             jnp.concatenate(
@@ -62,37 +67,37 @@ def _ablated_kernel(mode, by, ksteps, nx, omega):
             for k in range(NSPEEDS)
         ]
 
-        def body(s, f):
-            planes = [f[k] for k in range(NSPEEDS)]
-            if mode == "noop":
-                return jnp.stack(planes)
-            tmp = []
-            for k in range(NSPEEDS):
-                cy, cx = int(CY[k]), int(CX[k])
-                p = planes[k]
-                if cy:
-                    p = pltpu.roll(p, cy % byext, 0)
-                if cx:
-                    p = pltpu.roll(p, cx % nx, 1)
-                tmp.append(p)
-            if mode == "stream":
-                return jnp.stack(tmp)
-            outs, _ = _collide(tmp, fluid, omega, want_part=False)
-            return jnp.stack(outs)
-
-        final = jnp.stack(planes)
-        for s in range(ksteps):
-            final = body(s, final)
+        if mode == "collide":
+            final, _ = _window_advance(
+                planes, fluid, i == last, i == 0,
+                by=by, ksteps=ksteps, nx=nx, omega=omega, aw1=aw1, aw2=aw2,
+                want_av=False,
+            )
+        else:
+            final = planes
+            for _s in range(ksteps):
+                if mode == "noop":
+                    break
+                tmp = []
+                for k in range(NSPEEDS):
+                    cy, cx = int(CY[k]), int(CX[k])
+                    p = final[k]
+                    if cy:
+                        p = pltpu.roll(p, cy % byext, 0)
+                    if cx:
+                        p = pltpu.roll(p, cx % nx, 1)
+                    tmp.append(p)
+                final = tmp
         for k in range(NSPEEDS):
-            out_ref[k, :, :] = final[k, ksteps : ksteps + by, :]
-            gn_out[0, :, k, :] = final[k, ksteps : 2 * ksteps, :]
-            gs_out[0, :, k, :] = final[k, by : by + ksteps, :]
+            out_ref[k, :, :] = final[k][ksteps : ksteps + by, :]
+            gn_out[0, :, k, :] = final[k][ksteps : 2 * ksteps, :]
+            gs_out[0, :, k, :] = final[k][by : by + ksteps, :]
         avs_ref[0, 0] = f32(0.0)
 
     return kernel
 
 
-def build_ablated(mode, ny, nx, by, ksteps, omega):
+def build_ablated(mode, ny, nx, by, ksteps, omega, aw1, aw2):
     grid = ny // by
     center = pl.BlockSpec((NSPEEDS, by, nx), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
@@ -108,7 +113,7 @@ def build_ablated(mode, ny, nx, by, ksteps, omega):
                            memory_space=pltpu.VMEM)
     ghost_shape = jax.ShapeDtypeStruct((grid, ksteps, NSPEEDS, nx), jnp.float32)
     return pl.pallas_call(
-        _ablated_kernel(mode, by, ksteps, nx, omega),
+        _ablated_kernel(mode, by, ksteps, nx, omega, aw1, aw2),
         grid=(grid,),
         in_specs=[center, ghost_in, ghost_in, maskext],
         out_specs=[center, gs_out, gn_out,
@@ -148,10 +153,12 @@ def main(argv=None) -> int:
     ).astype(np.float32)
 
     def timed(fn, carry, steps):
+        executed = (steps // k) * k  # whole K-passes only
+
         @functools.partial(jax.jit, donate_argnums=0)
         def run(c):
             return jax.lax.scan(lambda c, _: (fn(c), None), c, None,
-                                length=steps // k)[0]
+                                length=executed // k)[0]
 
         carry = run(carry)  # compile + warmup
         jax.device_get(jax.tree.leaves(carry)[0][0, 0, 0])
@@ -161,24 +168,22 @@ def main(argv=None) -> int:
             carry = run(carry)
             jax.device_get(jax.tree.leaves(carry)[0][0, 0, 0])
             best = min(best, time.perf_counter() - t)
-        return best / steps * 1e6
+        return best / executed * 1e6
 
     f0 = init_cells(params)
-    south = [np.arange(i * by - k, i * by) % ny for i in range(grid)]
-    north = [np.arange(i * by + by, i * by + by + k) % ny for i in range(grid)]
+    prog = build_temporal_program(params, obs, fcinv, by, k)
 
     def fresh_carry():
         # New arrays per mode: timed() donates the carry, so reuse across
         # modes would hand deleted buffers to the next compile.
-        f = jnp.asarray(np.array(f0))
-        gs = jnp.stack([jnp.transpose(f[:, r, :], (1, 0, 2)) for r in south])
-        gn = jnp.stack([jnp.transpose(f[:, r, :], (1, 0, 2)) for r in north])
-        return f, gs, gn
+        return prog.init(jnp.asarray(np.array(f0)))
 
+    aw1, aw2 = accel_weights(params)
     results = {}
     for mode in ("noop", "stream", "collide"):
         call = build_ablated(mode, ny, nx, by, k,
-                             float(np.float32(params.omega)))
+                             float(np.float32(params.omega)),
+                             float(aw1), float(aw2))
 
         def step(c, call=call):
             f, gs, gn = c
@@ -189,12 +194,10 @@ def main(argv=None) -> int:
         print(json.dumps({"mode": mode, "us_per_step": round(results[mode], 2)}),
               flush=True)
 
-    prog = build_temporal_program(params, obs, fcinv, by, k)
-
     def step_full(c):
         return prog.step(c)[0]
 
-    results["full"] = timed(step_full, prog.init(fresh_carry()[0]), args.steps)
+    results["full"] = timed(step_full, fresh_carry(), args.steps)
     print(json.dumps({"mode": "full", "us_per_step": round(results["full"], 2)}),
           flush=True)
     print(
@@ -203,7 +206,7 @@ def main(argv=None) -> int:
                 "attribution_us": {
                     "dma_overhead": round(results["noop"], 2),
                     "streaming_rolls": round(results["stream"] - results["noop"], 2),
-                    "collision_math": round(results["collide"] - results["stream"], 2),
+                    "kick_and_collision": round(results["collide"] - results["stream"], 2),
                     "av_reduction": round(results["full"] - results["collide"], 2),
                 }
             }

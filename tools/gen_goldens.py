@@ -57,10 +57,12 @@ def generate(case: str, outdir: pathlib.Path) -> None:
         golden = np.loadtxt(ref_path, usecols=[1])[:steps]
         pct = np.abs((golden - av) / golden) * 100
         print(f"  cross-check vs reference golden: max {pct.max():.2e}%")
-        assert pct.max() < CROSSCHECK_TOL_PCT, (
-            f"{case}: fp64 engine deviates {pct.max():.4f}% from the "
-            "reference golden — refusing to vendor"
-        )
+        if not pct.max() < CROSSCHECK_TOL_PCT:
+            # Not an assert: the gate must survive python -O.
+            raise SystemExit(
+                f"{case}: fp64 engine deviates {pct.max():.4f}% from the "
+                "reference golden — refusing to vendor"
+            )
     else:
         print("  (reference golden not mounted; skipping cross-check)")
 
