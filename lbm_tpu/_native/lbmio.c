@@ -170,10 +170,27 @@ parse_obstacles(PyObject *self, PyObject *args)
 
     long free_cells = (long)(nx * ny);
     long xx, yy, blocked;
-    int rv;
     long lineno = 0;
-    while ((rv = fscanf(fp, "%ld %ld %ld", &xx, &yy, &blocked)) != EOF) {
+    char line[256];
+    /* Line-based parsing (NOT a whitespace-stream fscanf, which would
+     * silently re-group values across malformed line boundaries): each
+     * non-blank line must hold exactly three integers, same contract as
+     * the pure-Python fallback in geometry.py. */
+    while (fgets(line, sizeof line, fp)) {
         ++lineno;
+        char extra[8];
+        int rv = sscanf(line, "%ld %ld %ld %7s", &xx, &yy, &blocked, extra);
+        if (rv <= 0) {
+            int only_ws = 1;
+            for (const char *p = line; *p; ++p) {
+                if (*p != ' ' && *p != '\t' && *p != '\r' && *p != '\n') {
+                    only_ws = 0;
+                    break;
+                }
+            }
+            if (only_ws)
+                continue;
+        }
         if (rv != 3) {
             fclose(fp);
             Py_DECREF(mask_bytes);

@@ -49,6 +49,52 @@ def test_loader_validation(tmp_path):
     path.write_text("0 0 2\n")
     with pytest.raises(ValueError, match="blocked"):
         load_obstacle_file(path, 4, 4)
+    # Malformed line structure must error in BOTH parsers (the native
+    # fscanf version used to silently re-group values across lines).
+    path.write_text("0 0\n1 1 1 1\n")
+    with pytest.raises(ValueError, match="3 values"):
+        load_obstacle_file(path, 4, 4)
+
+
+def test_native_python_parser_parity(tmp_path):
+    """When the native extension is built, it must accept/reject exactly
+    what the pure-Python fallback does and produce the same mask."""
+    from lbm_tpu import geometry
+
+    if geometry._lbmio is None:
+        pytest.skip("native extension not built")
+
+    def python_parse(path, nx, ny):
+        saved = geometry._lbmio
+        geometry._lbmio = None
+        try:
+            return load_obstacle_file(path, nx, ny)
+        finally:
+            geometry._lbmio = saved
+
+    cases = [
+        "0 0 1\n1 1 1\n\n  \n2 3 1\n",   # valid with blank lines
+        "0 0 1\n0 0 1\n",                 # duplicates
+        "0 0\n1 1 1 1\n",                 # malformed split
+        "1 1 1 9\n",                      # extra token
+        "0 0 2\n",                        # bad blocked value
+    ]
+    for text in cases:
+        path = tmp_path / "obs.dat"
+        path.write_text(text)
+        try:
+            native = load_obstacle_file(path, 4, 4)
+        except ValueError:
+            native = "error"
+        try:
+            fallback = python_parse(path, 4, 4)
+        except ValueError:
+            fallback = "error"
+        if native == "error" or fallback == "error":
+            assert native == fallback, (text, native, fallback)
+        else:
+            np.testing.assert_array_equal(native[0], fallback[0])
+            assert native[1] == fallback[1]
 
 
 def test_write_roundtrip(tmp_path):
