@@ -116,11 +116,21 @@ def cmd_run(args: argparse.Namespace) -> int:
             raise SystemExit("--kernel mega is single-chip only; use "
                              "fused/temporal with --shards")
         return _run_sharded(args, params, obstacles)
+    device = select_device(args.device)
+    # Device inventory + selection line, like the reference's startup
+    # stdout (``d2q9-bgk.c:911-918``, 941).
+    import jax
+
+    devices = jax.devices()
+    print("Available devices:")
+    for i, d in enumerate(devices):
+        print(f"  {i}: {d.device_kind} ({d.platform})")
+    print(f"Selected device {devices.index(device)}: {device.device_kind}")
     sim = Simulator(
         params,
         obstacles,
         kernel=args.kernel,
-        device=select_device(args.device),
+        device=device,
     )
     # AOT-compile the variant that will actually run, outside the timed
     # region (like clBuildProgram).  Checkpointed runs precompile their
