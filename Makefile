@@ -24,10 +24,16 @@ test-all:
 # 1024x1024 are av_vels-only: their final_state goldens were stripped
 # upstream (check/.MISSING_LARGE_BLOBS).  Any failure aborts with rc != 0.
 REF := /root/reference
-check: check-128x128 check-128x256 check-256x256-av check-1024x1024-av
+# NOTE: these must be STATIC pattern rules — make never applies implicit
+# (plain `check-%:`) pattern rules to .PHONY targets, which silently turns
+# every case into "Nothing to be done" and lets `check` report success
+# without running anything.
+CASES_FULL := 128x128 128x256
+CASES_AV := 256x256 1024x1024
+check: $(CASES_FULL:%=check-%) $(CASES_AV:%=check-%-av)
 	@echo "== all four cases passed =="
 
-check-%: $(REF)/input_%.params
+$(CASES_FULL:%=check-%): check-%: $(REF)/input_%.params
 	$(PY) -m lbm_tpu.cli run $(REF)/input_$*.params \
 	    $(REF)/obstacles_$*.dat --output-dir /tmp/lbm_check_$*
 	$(PY) tools/check.py \
@@ -36,7 +42,7 @@ check-%: $(REF)/input_%.params
 	    --av-vels-file /tmp/lbm_check_$*/av_vels.dat \
 	    --final-state-file /tmp/lbm_check_$*/final_state.dat
 
-check-%-av: $(REF)/input_%.params
+$(CASES_AV:%=check-%-av): check-%-av: $(REF)/input_%.params
 	$(PY) -m lbm_tpu.cli run $(REF)/input_$*.params \
 	    $(REF)/obstacles_$*.dat --output-dir /tmp/lbm_check_$*
 	$(PY) tools/check.py \

@@ -794,6 +794,7 @@ class ShardedSimulator:
         self._compiled: dict[int, Callable] = {}
         self._chunks: dict[int, int] = {}
         self._finalize = None
+        self._init_compiled = None
 
     def compiled(self, max_iters: int | None = None):
         if max_iters is None:
@@ -887,7 +888,7 @@ class ShardedSimulator:
         mesh (elementwise over the existing sharding — no resharding) and
         fetches 4 planes instead of the 9 f-planes; at 4096² that is
         256 MB instead of 576 MB over the host link."""
-        from lbm_tpu.runtime import check_readback, final_fields_fn
+        from lbm_tpu.runtime import check_readback, expand_fields, raw_fields_fn
 
         check_readback(readback)
         if max_iters is None:
@@ -902,31 +903,48 @@ class ShardedSimulator:
             if self._finalize is None:
                 # AOT-compile the field derivation outside the timed
                 # region, like the step program itself; cached (the grid
-                # and mesh are fixed per simulator).
+                # and mesh are fixed per simulator).  The device emits the
+                # compact [u_x, u_y, rho] payload; |u|/pressure are host
+                # derived (see runtime.raw_fields_fn — 3 planes instead of
+                # 4 over the slow device->host link).
                 spec = jax.ShapeDtypeStruct(
                     (NSPEEDS, self.params.ny, self.params.nx),
                     jnp.float32,
                     sharding=sharding,
                 )
                 self._finalize = (
-                    jax.jit(final_fields_fn(self.params, self.obstacles))
+                    jax.jit(raw_fields_fn(self.params, self.obstacles))
                     .lower(spec)
                     .compile()
                 )
             finalize = self._finalize
+        if self._init_compiled is None:
+            # On-device constant f0 (no host array, no upload), compiled
+            # outside the timed region.
+            self._init_compiled = (
+                jax.jit(
+                    functools.partial(init_cells, self.params),
+                    out_shardings=sharding,
+                )
+                .lower()
+                .compile()
+            )
 
         tic = time.perf_counter()
-        f0 = jax.device_put(
-            init_cells(self.params)
+        f0 = (
+            self._init_compiled()
             if f0 is None
-            else jnp.asarray(f0, jnp.float32),
-            sharding,
+            else jax.device_put(jnp.asarray(f0, jnp.float32), sharding)
         )
         f_fin, av = fn(f0)
-        out_host = np.asarray(
-            jax.device_get(finalize(f_fin) if finalize else f_fin)
+        out_host, av_host = jax.device_get(
+            (finalize(f_fin) if finalize else f_fin, av)
         )
-        av_host = np.asarray(jax.device_get(av))
+        out_host, av_host = np.asarray(out_host), np.asarray(av_host)
+        if readback == "fields":
+            out_host = expand_fields(
+                out_host, self.obstacles, self.params.density
+            )
         toc = time.perf_counter()
         return ShardedRunResult(
             params=dataclasses.replace(self.params, max_iters=max_iters),

@@ -37,23 +37,40 @@ StepFn = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
 READBACK_MODES = ("state", "fields")
 
 
-def final_fields_fn(params: LBMParams, obstacles: np.ndarray):
-    """Device-side ``f -> [u_x, u_y, |u|, pressure]`` (the complete
-    ``final_state.dat`` payload, ``d2q9-bgk.c:789-836`` semantics: u = 0
-    and pressure = density/3 on obstacle cells).  Shared by the
-    single-chip and sharded fields-readback paths."""
+def raw_fields_fn(params: LBMParams, obstacles: np.ndarray):
+    """Device-side ``f -> [u_x, u_y, rho]`` — the COMPACT fields-readback
+    payload.  |u| and pressure are pure functions of these three planes, so
+    deriving them on host (see :func:`expand_fields`) fetches 3 planes
+    instead of 4: the device->host link is the dominant fixed cost of a
+    run (measured ~30 MB/s + ~30 ms/fetch through the tunnel), while the
+    host-side derivation is microseconds.  u is masked to 0 on obstacle
+    cells on device (``d2q9-bgk.c:789-836`` semantics)."""
+    del params
     fluid = jnp.asarray(~np.asarray(obstacles, dtype=bool))
-    rest_pressure = jnp.float32(params.density / 3.0)
 
     def fields(f):
         rho = jnp.sum(f, axis=0)
         ux = jnp.where(fluid, (f[1] + f[5] + f[8] - f[3] - f[6] - f[7]) / rho, 0.0)
         uy = jnp.where(fluid, (f[2] + f[5] + f[6] - f[4] - f[7] - f[8]) / rho, 0.0)
-        speed = jnp.sqrt(ux * ux + uy * uy)
-        pressure = jnp.where(fluid, rho * jnp.float32(1.0 / 3.0), rest_pressure)
-        return jnp.stack([ux, uy, speed, pressure])
+        return jnp.stack([ux, uy, rho])
 
     return fields
+
+
+def expand_fields(
+    raw: np.ndarray, obstacles: np.ndarray, density: float
+) -> np.ndarray:
+    """Host-side ``[u_x, u_y, rho] -> [u_x, u_y, |u|, pressure]`` (the
+    complete ``final_state.dat`` payload; obstacle cells get u = 0 and
+    pressure = density/3 per ``d2q9-bgk.c:789-836``).  Derivation runs in
+    fp64 and rounds to fp32, matching the on-device fp32 values to 1 ulp."""
+    fluid = ~np.asarray(obstacles, dtype=bool)
+    ux = np.asarray(raw[0], dtype=np.float64)
+    uy = np.asarray(raw[1], dtype=np.float64)
+    rho = np.asarray(raw[2], dtype=np.float64)
+    speed = np.sqrt(ux * ux + uy * uy)
+    pressure = np.where(fluid, rho / 3.0, density / 3.0)
+    return np.stack([ux, uy, speed, pressure]).astype(np.float32)
 
 
 def check_readback(readback: str) -> None:
@@ -227,6 +244,7 @@ class Simulator:
         self._collect = collect_av_vels
         self._compiled: dict[tuple[int, str], Any] = {}
         self._chunks: dict[int, int] = {}
+        self._init_compiled: Any = None
 
     # -- compiled program ---------------------------------------------------
 
@@ -246,7 +264,7 @@ class Simulator:
         assert max_iters % program.chunk == 0
         self._chunks[max_iters] = program.chunk
         finalize = (
-            final_fields_fn(self.params, self.obstacles)
+            raw_fields_fn(self.params, self.obstacles)
             if readback == "fields"
             else (lambda f: f)
         )
@@ -305,7 +323,24 @@ class Simulator:
                     last_err = e
             else:
                 raise last_err
+        # Pre-build the on-device f0 initializer alongside the run program
+        # so the first run() doesn't pay its trace/compile inside the timed
+        # region (measured ~0.8 s of jit dispatch on the first call).
+        self._init_program()
         return self._compiled[key]
+
+    def _init_program(self):
+        """AOT-compiled zero-arg initial-state program: f0 is a constant
+        9-plane broadcast (``d2q9-bgk.c:529-550``) generated directly on
+        the target device — no host-side array, no upload."""
+        if self._init_compiled is None:
+            sharding = jax.sharding.SingleDeviceSharding(self.device)
+            fn = jax.jit(
+                functools.partial(init_cells, self.params),
+                out_shardings=sharding,
+            )
+            self._init_compiled = fn.lower().compile()
+        return self._init_compiled
 
     def chunk(self, max_iters: int | None = None) -> int:
         """Timesteps per kernel pass of the compiled program (1 = the
@@ -316,7 +351,7 @@ class Simulator:
         return self._chunks.get(max_iters, 1)
 
     def initial_state(self) -> jax.Array:
-        return jax.device_put(init_cells(self.params), self.device)
+        return self._init_program()()
 
     def step_fn(self) -> StepFn:
         """The raw (unjitted) single-step function, for composition/tests."""
@@ -350,12 +385,18 @@ class Simulator:
             else jax.device_put(jnp.asarray(f0, jnp.float32), self.device)
         )
         out, av = fn(f)
-        out_host = np.asarray(jax.device_get(out))
-        av_host = (
-            np.asarray(jax.device_get(av))
-            if self._collect
-            else np.zeros(max_iters, np.float32)
-        )
+        # One device_get over the tree: copy_to_host_async is issued for
+        # both buffers before either host copy drains.
+        if self._collect:
+            out_host, av_host = jax.device_get((out, av))
+            out_host, av_host = np.asarray(out_host), np.asarray(av_host)
+        else:
+            out_host = np.asarray(jax.device_get(out))
+            av_host = np.zeros(max_iters, np.float32)
+        if readback == "fields":
+            out_host = expand_fields(
+                out_host, self.obstacles, self.params.density
+            )
         toc = time.perf_counter()
         run_params = dataclasses.replace(self.params, max_iters=max_iters)
         return RunResult(
