@@ -118,6 +118,10 @@ def choose_block_rows(ny: int, nx: int) -> int | None:
         return None  # a single row already blows the budget
     if by < 3:  # body-force fusion requires BY >= 3 (see module docstring)
         return None
+    if by < 8 and by < ny:
+        # Pallas TPU tiling: a block's row dim must be divisible by 8 or
+        # equal the full array dim (a whole-grid by == ny block is fine).
+        return None
     return by
 
 
@@ -623,12 +627,17 @@ def _window_advance(
                 out.append(planes[k])
                 continue
             kicked = planes[k][row : row + 1, :] + (okf * f32(sv))[None, :]
-            out.append(
-                jnp.concatenate(
-                    [planes[k][:row, :], kicked, planes[k][row + 1 :, :]],
-                    axis=0,
-                )
-            )
+            # Build the concat without empty slices: Mosaic rejects
+            # zero-row vectors ("vector types must have positive constant
+            # sizes"), and row == 0 happens for real — the wrap-kick site
+            # K-2 is the window's first row when K = 2.
+            parts = []
+            if row > 0:
+                parts.append(planes[k][:row, :])
+            parts.append(kicked)
+            if row + 1 < byext:
+                parts.append(planes[k][row + 1 :, :])
+            out.append(jnp.concatenate(parts, axis=0))
         return out
 
     parts = []
@@ -1195,14 +1204,34 @@ def _largest_block_rows(ny: int, nx: int, budget: int) -> int | None:
         by *= 2
     if by * nx > budget or by < 3:
         return None
+    if by < 8 and by < ny:
+        return None  # Pallas row-dim tiling constraint (see choose_block_rows)
     return by
+
+
+def _structurally_valid(ny: int, by: int, ksteps: int, max_iters: int) -> bool:
+    """The temporal kernel's hard constraints (see build_temporal_program)."""
+    return (
+        by >= 4
+        and (by % 8 == 0 or by == ny)  # Pallas row-dim tiling constraint
+        and ny % by == 0
+        and ny // by >= 2
+        and 2 <= ksteps <= by - 2
+        and max_iters % ksteps == 0
+    )
 
 
 def choose_temporal(ny: int, nx: int, max_iters: int) -> tuple[int, int] | None:
     """Pick (BY, K) for the temporal kernel: K | max_iters, K <= BY-2,
     BY a power-of-two divisor of ny with >= 2 blocks, window within the
-    VMEM budget; budgets and K preference are width-dependent (see
-    :func:`_temporal_tuning`)."""
+    VMEM budget.  A measured tuning-cache entry for this device/grid wins
+    (``lbm_tpu.tuning``, populated by ``tools/autotune.py``); otherwise
+    the width-dependent heuristics (:func:`_temporal_tuning`) apply."""
+    from lbm_tpu import tuning
+
+    for by, ksteps in tuning.lookup(tuning.default_device_kind(), ny, nx):
+        if _structurally_valid(ny, by, ksteps, max_iters):
+            return by, ksteps
     block_budget, window_budget, k_pref = _temporal_tuning(nx)
     by_max = _largest_block_rows(ny, nx, block_budget)
     if by_max is None or by_max >= ny:
@@ -1211,9 +1240,11 @@ def choose_temporal(ny: int, nx: int, max_iters: int) -> tuple[int, int] | None:
         if max_iters % ksteps != 0:
             continue
         by = by_max
-        while by >= 4 and (by + 2 * ksteps) * nx > window_budget:
+        while by >= 8 and (by + 2 * ksteps) * nx > window_budget:
             by //= 2
-        if by >= 4 and ksteps <= by - 2 and ny % by == 0 and ny // by >= 2:
+        # by >= 8: Pallas requires block row dims divisible by 8 (by is a
+        # power of two and < ny here, so 4 would not lower).
+        if by >= 8 and ksteps <= by - 2 and ny % by == 0 and ny // by >= 2:
             return by, ksteps
     return None
 

@@ -1,0 +1,119 @@
+"""Tuning-cache tests: persistence, lookup precedence in choose_temporal,
+and graceful degradation on bad cache data (the cache must never become a
+correctness dependency)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lbm_tpu import tuning
+from lbm_tpu.ops.fused import choose_temporal
+
+
+@pytest.fixture
+def cache_file(tmp_path, monkeypatch):
+    path = tmp_path / "cache.json"
+    monkeypatch.setenv("LBM_TUNING_CACHE", str(path))
+    return path
+
+
+def test_record_and_lookup_roundtrip(cache_file):
+    tuning.record("FakeTPU v9", 64, 128, [(16, 4, 51.0), (32, 8, 47.0)])
+    # Sorted fastest-first on read-back.
+    assert tuning.lookup("FakeTPU v9", 64, 128) == [(32, 8), (16, 4)]
+    # Other keys untouched, unknown keys empty.
+    assert tuning.lookup("FakeTPU v9", 64, 256) == []
+    tuning.record("FakeTPU v9", 64, 256, [(8, 2, 10.0)])
+    assert tuning.lookup("FakeTPU v9", 64, 128) == [(32, 8), (16, 4)]
+    assert tuning.lookup("FakeTPU v9", 64, 256) == [(8, 2)]
+
+
+def test_corrupt_or_missing_cache_is_empty(cache_file):
+    assert tuning.lookup("x", 8, 8) == []  # missing file
+    cache_file.write_text("{not json")
+    assert tuning.load_cache() == {}
+    cache_file.write_text(json.dumps([1, 2, 3]))  # wrong top-level type
+    assert tuning.load_cache() == {}
+    # Malformed entries are dropped, well-formed ones survive.
+    cache_file.write_text(json.dumps({"k|4x4": [[8], [16, 4, 1.0], "zz"]}))
+    assert tuning.lookup("k", 4, 4) == [(16, 4)]
+
+
+def test_choose_temporal_prefers_measured_entry(cache_file):
+    kind = tuning.default_device_kind()
+    # ny=64, nx=128: the heuristic path yields None (the largest valid
+    # power-of-two row block is the whole grid), so a cache hit is
+    # unambiguously attributable.
+    assert choose_temporal(64, 128, 400) is None
+    tuning.record(kind, 64, 128, [(16, 4, 50.0)])
+    assert choose_temporal(64, 128, 400) == (16, 4)
+
+
+def test_choose_temporal_skips_invalid_cached_entries(cache_file):
+    kind = tuning.default_device_kind()
+    tuning.record(
+        kind,
+        64,
+        128,
+        [
+            (16, 3, 40.0),  # K does not divide max_iters=400
+            (24, 4, 41.0),  # BY does not divide ny=64
+            (4, 4, 42.0),  # K > BY-2
+            (16, 4, 43.0),  # valid
+        ],
+    )
+    assert choose_temporal(64, 128, 400) == (16, 4)
+    # An entry for a different device kind must not apply.
+    other = cache_file.parent / "other.json"
+    other.write_text(
+        json.dumps({f"not-{kind}|64x128": [[16, 4, 1.0]]})
+    )
+    import os
+
+    os.environ["LBM_TUNING_CACHE"] = str(other)
+    try:
+        assert choose_temporal(64, 128, 400) is None
+    finally:
+        os.environ["LBM_TUNING_CACHE"] = str(cache_file)
+
+
+def test_cached_pick_still_runs_correctly(cache_file):
+    """A cache-driven (BY, K) must produce the same physics as the jnp
+    reference path (the cache steers performance, never results)."""
+    import numpy as np
+
+    from lbm_tpu.config import LBMParams
+    from lbm_tpu.geometry import channel_box, free_cells_of
+    from lbm_tpu.ops.fused import build_temporal_program
+    from lbm_tpu.ops.reference import init_cells, make_step_fn
+
+    params = LBMParams(128, 64, 8, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(params.nx, params.ny)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    kind = tuning.default_device_kind()
+    tuning.record(kind, 64, 128, [(16, 4, 50.0)])
+    by, k = choose_temporal(params.ny, params.nx, params.max_iters)
+    assert (by, k) == (16, 4)
+
+    prog = build_temporal_program(
+        params, obstacles, fcinv, by, k, interpret=True
+    )
+    carry = prog.init(init_cells(params))
+    avs = []
+    for _ in range(params.max_iters // k):
+        carry, av = prog.step(carry)
+        avs.extend(np.asarray(av))
+    f_temporal = np.asarray(prog.final(carry))
+
+    step = make_step_fn(params, obstacles, fcinv)
+    f = init_cells(params)
+    ref_avs = []
+    for _ in range(params.max_iters):
+        f, av = step(f)
+        ref_avs.append(float(av))
+    # Same tolerances as tests/test_fused.py: fp32 reassociation between
+    # the temporal window schedule and the plain jnp step.
+    np.testing.assert_allclose(f_temporal, np.asarray(f), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(avs, ref_avs, rtol=1e-4)
