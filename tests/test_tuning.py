@@ -79,6 +79,30 @@ def test_choose_temporal_skips_invalid_cached_entries(cache_file):
         os.environ["LBM_TUNING_CACHE"] = str(cache_file)
 
 
+def test_autotune_candidate_enumeration():
+    """Candidates must all satisfy the temporal kernel's structural
+    constraints (BY >= 8 power-of-two divisor with >= 2 blocks, K <= BY-2,
+    K | steps, window within the never-compiles cap)."""
+    import sys
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import autotune
+
+    cands = autotune.candidates(1024, 1024, 960)
+    assert (128, 8) in cands
+    assert all(by >= 8 and by % 8 == 0 and 1024 % by == 0 for by, _ in cands)
+    assert all(2 <= k <= by - 2 and 960 % k == 0 for by, k in cands)
+    assert all(
+        (by + 2 * k) * 1024 <= autotune._WINDOW_CELL_CAP for by, k in cands
+    )
+    assert all(by < 1024 for by, _ in cands)  # >= 2 blocks
+    # steps not divisible by 16 must drop the K=16 candidates.
+    assert all(k != 16 for _, k in autotune.candidates(1024, 1024, 8))
+    # Tiny grids admit nothing.
+    assert autotune.candidates(8, 128, 960) == []
+
+
 def test_cached_pick_still_runs_correctly(cache_file):
     """A cache-driven (BY, K) must produce the same physics as the jnp
     reference path (the cache steers performance, never results)."""
