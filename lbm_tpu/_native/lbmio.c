@@ -178,6 +178,28 @@ parse_obstacles(PyObject *self, PyObject *args)
      * the pure-Python fallback in geometry.py. */
     while (fgets(line, sizeof line, fp)) {
         ++lineno;
+        /* A full buffer without a newline means the physical line exceeds
+         * the buffer.  Never parse the overflow as if it were new lines
+         * (fragments could each scan as a valid triplet and silently
+         * mis-place obstacles); drain to end-of-line instead, and reject
+         * the line if the drained tail holds anything but whitespace —
+         * exactly what the pure-Python fallback's 3-tokens-per-line
+         * contract does (a whitespace-padded long line stays valid). */
+        if (!strchr(line, '\n') && !feof(fp)) {
+            int c, tail_nonws = 0;
+            while ((c = fgetc(fp)) != EOF && c != '\n') {
+                if (c != ' ' && c != '\t' && c != '\r')
+                    tail_nonws = 1;
+            }
+            if (tail_nonws) {
+                fclose(fp);
+                Py_DECREF(mask_bytes);
+                PyErr_Format(PyExc_ValueError,
+                             "%s:%ld: expected 3 values per line", path,
+                             lineno);
+                return NULL;
+            }
+        }
         char extra[8];
         int rv = sscanf(line, "%ld %ld %ld %7s", &xx, &yy, &blocked, extra);
         if (rv <= 0) {

@@ -153,6 +153,8 @@ def _run_sharded(args, params, obstacles) -> int:
 
 
 def cmd_bench(args: argparse.Namespace) -> int:
+    if args.repeats < 1:
+        raise SystemExit(f"--repeats must be >= 1, got {args.repeats}")
     params, obstacles = _load_case(args.paramfile, args.obstaclefile)
     import dataclasses
 

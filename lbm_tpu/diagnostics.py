@@ -56,3 +56,35 @@ def total_density(f: np.ndarray) -> float:
     """Total mass — conserved exactly by streaming/bounce-back and to
     rounding by BGK collision; a property test asserts this."""
     return float(np.asarray(f, dtype=np.float64).sum())
+
+
+class ResultMetrics:
+    """Derived-metric mixin shared by ``RunResult`` and
+    ``ShardedRunResult`` (both carry ``params``, ``f``/``fields``,
+    ``obstacles``, ``free_cells_inv``, ``elapsed``, ``steps_timed``)."""
+
+    @property
+    def reynolds(self) -> float:
+        if self.f is not None:
+            return calc_reynolds(
+                self.params, self.f, self.obstacles, self.free_cells_inv
+            )
+        # fields mode: |u| was computed on-device in fp32; accumulate the
+        # masked mean in fp64 on host (same 4-digit agreement as the fp64
+        # path — the per-cell speeds differ only at fp32 rounding).
+        speed = np.asarray(self.fields[2], dtype=np.float64)
+        fluid = ~np.asarray(self.obstacles, dtype=bool)
+        av = speed[fluid].sum() * self.free_cells_inv
+        return av * self.params.reynolds_dim / self.params.viscosity
+
+    @property
+    def mlups(self) -> float:
+        """Million lattice-cell updates per second (of the steps this
+        invocation actually executed — ``steps_timed`` differs from
+        ``params.max_iters`` when a checkpointed run resumed partway)."""
+        steps = (
+            self.steps_timed if self.steps_timed is not None
+            else self.params.max_iters
+        )
+        cells = self.params.nx * self.params.ny * steps
+        return cells / self.elapsed / 1e6 if self.elapsed > 0 else float("inf")

@@ -762,9 +762,19 @@ def build_temporal_program(
 ) -> StepProgram:
     """Temporal-blocked program (``chunk == ksteps``) for row-blocked grids."""
     ny, nx = params.ny, params.nx
+    if ny % by != 0:
+        raise ValueError(f"BY={by} does not divide ny={ny}")
     grid = ny // by
     if grid < 2:
         raise ValueError("temporal blocking needs >= 2 row blocks")
+    if not interpret and by % 8 != 0:
+        # Mosaic requires block row dims divisible by 8 (sub-8 blocks fail
+        # at lowering with a cryptic tiling error); interpret mode has no
+        # such constraint, so tests may use smaller blocks there.
+        raise ValueError(
+            f"BY={by}: Pallas row blocks must be divisible by 8 to lower "
+            "on TPU (use interpret=True for sub-8 test blocks)"
+        )
     # K <= BY-2 keeps the body-force row ny-2 out of every window except
     # the last program's interior and program 0's south halo (the two
     # gated kick sites); a larger K would let it enter program last-1's
@@ -1221,15 +1231,23 @@ def _structurally_valid(ny: int, by: int, ksteps: int, max_iters: int) -> bool:
     )
 
 
-def choose_temporal(ny: int, nx: int, max_iters: int) -> tuple[int, int] | None:
+def choose_temporal(
+    ny: int, nx: int, max_iters: int, device_kind: str | None = None
+) -> tuple[int, int] | None:
     """Pick (BY, K) for the temporal kernel: K | max_iters, K <= BY-2,
     BY a power-of-two divisor of ny with >= 2 blocks, window within the
     VMEM budget.  A measured tuning-cache entry for this device/grid wins
     (``lbm_tpu.tuning``, populated by ``tools/autotune.py``); otherwise
-    the width-dependent heuristics (:func:`_temporal_tuning`) apply."""
+    the width-dependent heuristics (:func:`_temporal_tuning`) apply.
+
+    ``device_kind``: the kind of the device the program will actually run
+    on (defaults to the default backend's first device — pass it when the
+    simulator is bound to a non-default device via LBM_DEVICE/--device)."""
     from lbm_tpu import tuning
 
-    for by, ksteps in tuning.lookup(tuning.default_device_kind(), ny, nx):
+    if device_kind is None:
+        device_kind = tuning.default_device_kind()
+    for by, ksteps in tuning.lookup(device_kind, ny, nx):
         if _structurally_valid(ny, by, ksteps, max_iters):
             return by, ksteps
     block_budget, window_budget, k_pref = _temporal_tuning(nx)
@@ -1273,12 +1291,15 @@ def make_fused_program(
     *,
     interpret: bool = False,
     max_iters: int | None = None,
+    device_kind: str | None = None,
 ) -> StepProgram:
     """Fused-kernel step program, falling back to the jnp reference path
     when the grid doesn't admit a valid row-block decomposition.
 
     With ``max_iters`` given and a whole-grid-in-VMEM case, returns a
     multi-step (chunked) program whose chunk divides ``max_iters``.
+    ``device_kind`` keys the measured tuning cache (see
+    :func:`choose_temporal`).
     """
     by = choose_block_rows(params.ny, params.nx)
     if by is None:
@@ -1297,7 +1318,9 @@ def make_fused_program(
                 params, obstacles, free_cells_inv, chunk, interpret=interpret
             )
     if by < params.ny and max_iters is not None:
-        picked = choose_temporal(params.ny, params.nx, max_iters)
+        picked = choose_temporal(
+            params.ny, params.nx, max_iters, device_kind=device_kind
+        )
         if picked is not None:
             t_by, ksteps = picked
             return build_temporal_program(

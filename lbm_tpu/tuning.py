@@ -64,10 +64,17 @@ def lookup(device_kind: str, ny: int, nx: int) -> list[tuple[int, int]]:
     """Ranked measured (BY, K) candidates for this device/grid (best
     first); [] when the cache has no entry."""
     entries = load_cache().get(_key(device_kind, ny, nx), [])
+    if not isinstance(entries, list):
+        return []
     out = []
     for e in entries:
-        if isinstance(e, (list, tuple)) and len(e) >= 2:
-            out.append((int(e[0]), int(e[1])))
+        # Tolerate malformed entries (hand-edited cache files): the cache
+        # is an accelerator, never a correctness dependency.
+        try:
+            if isinstance(e, (list, tuple)) and len(e) >= 2:
+                out.append((int(e[0]), int(e[1])))
+        except (TypeError, ValueError):
+            continue
     return out
 
 

@@ -91,6 +91,19 @@ def test_bench_json_line(small_case, capsys):
     assert payload["value"] > 0
 
 
+def test_bench_rejects_nonpositive_repeats(small_case):
+    with pytest.raises(SystemExit, match="--repeats"):
+        cli.main(
+            [
+                "bench",
+                str(small_case / "input.params"),
+                str(small_case / "obstacles.dat"),
+                "--repeats",
+                "0",
+            ]
+        )
+
+
 def test_run_sharded_flag(small_case, capsys):
     """--shards N drives the multi-device path end-to-end from the CLI."""
     import jax

@@ -8,6 +8,7 @@ compiler FMA-contraction choices, so agreement is asserted to ~1 ulp
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lbm_tpu.config import LBMParams
 from lbm_tpu.geometry import channel_box, free_cells_of
@@ -272,6 +273,29 @@ def test_choose_temporal():
     assert choose_temporal(512, 4096, 2000) == (64, 4)  # 8-shard local slab
     assert choose_temporal(2048, 2048, 2000) == (128, 4)
     assert choose_temporal(256, 256, 1000) is None  # whole grid -> multi-step
+
+
+def test_temporal_program_validates_explicit_split():
+    """Explicit (BY, K) must be rejected with clear errors: sub-8 row
+    blocks can't lower on TPU (Mosaic tiling; allowed only under
+    interpret=True for tests), and a BY that doesn't divide ny would
+    leave trailing rows un-advanced."""
+    from lbm_tpu.ops.fused import build_temporal_program
+
+    params = LBMParams(128, 32, 8, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(128, 32)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    with pytest.raises(ValueError, match="divisible by 8"):
+        build_temporal_program(params, obstacles, fcinv, by=4, ksteps=2)
+    with pytest.raises(ValueError, match="does not divide"):
+        build_temporal_program(
+            params, obstacles, fcinv, by=12, ksteps=2, interpret=True
+        )
+    # The same (BY=4, K=2) split IS allowed in interpret mode.
+    prog = build_temporal_program(
+        params, obstacles, fcinv, by=4, ksteps=2, interpret=True
+    )
+    assert prog.chunk == 2
 
 
 def test_fallback_on_odd_grid():

@@ -78,6 +78,13 @@ def test_native_python_parser_parity(tmp_path):
         "0 0\n1 1 1 1\n",                 # malformed split
         "1 1 1 9\n",                      # extra token
         "0 0 2\n",                        # bad blocked value
+        # Lines longer than the native parser's 256-byte read buffer: a
+        # whitespace-padded triplet stays valid; anything significant in
+        # the overflow must error in both (the native parser used to
+        # silently split such lines into fragments).
+        "0 0 1" + " " * 400 + "\n1 1 1\n",
+        "1 1 1" + " " * 400 + "9\n",
+        "1 1 " + "1" * 400 + "\n",
     ]
     for text in cases:
         path = tmp_path / "obs.dat"

@@ -267,6 +267,24 @@ def test_temporal_rejects_bad_explicit_split(eight_devices):
         make_sharded_temporal_run(
             params, obstacles, fcinv, default_mesh(2), by=8, ksteps=7
         )
+    # Sub-8 row blocks cannot lower on TPU (Mosaic tiling); without
+    # interpret=True that must be a clear ValueError, not a Mosaic error.
+    with pytest.raises(ValueError, match="divisible by 8"):
+        make_sharded_temporal_run(
+            params, obstacles, fcinv, default_mesh(2), by=4, ksteps=2
+        )
+
+
+def test_default_mesh_rejects_oversubscription(eight_devices):
+    """Requesting more shards than devices must raise, not silently clamp
+    to a smaller mesh (the run would report the wrong topology)."""
+    from lbm_tpu.parallel.sharded import default_mesh, default_mesh_2d
+
+    with pytest.raises(ValueError, match="only 8 devices"):
+        default_mesh(16)
+    with pytest.raises(ValueError, match="only 8 devices"):
+        default_mesh_2d(4, 4)
+    assert default_mesh(8).shape["y"] == 8
 
 
 def test_rejects_indivisible_grid(eight_devices):

@@ -36,9 +36,17 @@ def test_corrupt_or_missing_cache_is_empty(cache_file):
     assert tuning.load_cache() == {}
     cache_file.write_text(json.dumps([1, 2, 3]))  # wrong top-level type
     assert tuning.load_cache() == {}
-    # Malformed entries are dropped, well-formed ones survive.
-    cache_file.write_text(json.dumps({"k|4x4": [[8], [16, 4, 1.0], "zz"]}))
+    # Malformed entries are dropped, well-formed ones survive — including
+    # valid-JSON-but-wrong-typed values (null/strings), which must never
+    # raise: the cache is an accelerator, not a correctness dependency.
+    cache_file.write_text(
+        json.dumps(
+            {"k|4x4": [[8], [None, 2, 1.0], ["x", 2], [16, 4, 1.0], "zz"]}
+        )
+    )
     assert tuning.lookup("k", 4, 4) == [(16, 4)]
+    cache_file.write_text(json.dumps({"k|4x4": {"by": 16}}))  # wrong type
+    assert tuning.lookup("k", 4, 4) == []
 
 
 def test_choose_temporal_prefers_measured_entry(cache_file):
@@ -49,6 +57,13 @@ def test_choose_temporal_prefers_measured_entry(cache_file):
     assert choose_temporal(64, 128, 400) is None
     tuning.record(kind, 64, 128, [(16, 4, 50.0)])
     assert choose_temporal(64, 128, 400) == (16, 4)
+    # The cache is keyed by the device the program will RUN on: an
+    # explicit device_kind (LBM_DEVICE/--device binding) must not pick up
+    # entries measured on a different kind, and must find its own.
+    assert choose_temporal(64, 128, 400, device_kind="OtherChip") is None
+    tuning.record("OtherChip", 64, 128, [(32, 8, 40.0)])
+    assert choose_temporal(64, 128, 400, device_kind="OtherChip") == (32, 8)
+    assert choose_temporal(64, 128, 400, device_kind=kind) == (16, 4)
 
 
 def test_choose_temporal_skips_invalid_cached_entries(cache_file):
