@@ -803,6 +803,15 @@ class ShardedSimulator:
         self._init_compiled = None
 
     def compiled(self, max_iters: int | None = None):
+        """AOT-compile (and cache) the sharded full-run program.
+
+        Mirrors ``Simulator.compiled``: compilation happens here, outside
+        the timed region, and a routed kernel variant that fails to
+        compile on this device (e.g. a temporal window exceeding VMEM —
+        the remote compile service surfaces that as a runtime error)
+        falls back temporal -> fused -> jnp.  An explicitly-requested
+        variant propagates its error instead of silently degrading.
+        """
         if max_iters is None:
             max_iters = self.params.max_iters
         if max_iters not in self._compiled:
@@ -813,6 +822,13 @@ class ShardedSimulator:
                 raise ValueError(
                     f"ny={self.params.ny} not divisible by mesh size {n_y}"
                 )
+            common = (
+                self.params,
+                self.obstacles,
+                self.free_cells_inv,
+                self.mesh,
+                max_iters,
+            )
             if AXIS_X in self.mesh.shape:
                 # 2-D decomposition: the fused Pallas path (blocked kernel
                 # on an x-padded tile, two-phase ghost exchange) when the
@@ -822,59 +838,60 @@ class ShardedSimulator:
                         "the temporal kernel is not available on 2-D "
                         "meshes; use kernel='fused' (or a 1-D mesh)"
                     )
-                run = None
+                in_spec = P(None, AXIS, AXIS_X)
+                factories = []
                 if self.kernel == "fused":
-                    run = make_sharded_fused_2d_run(
-                        self.params,
-                        self.obstacles,
-                        self.free_cells_inv,
-                        self.mesh,
-                        max_iters,
-                        interpret=self.interpret,
-                    )
-                if run is None:
-                    run = make_sharded_2d_run(
-                        self.params,
-                        self.obstacles,
-                        self.free_cells_inv,
-                        self.mesh,
-                        max_iters,
-                    )
-            elif self.kernel in ("fused", "temporal"):
-                run = make_sharded_temporal_run(
-                    self.params,
-                    self.obstacles,
-                    self.free_cells_inv,
-                    self.mesh,
-                    max_iters,
-                    interpret=self.interpret,
-                )
-                if run is None:
-                    if self.kernel == "temporal":
-                        raise ValueError(
-                            "no valid temporal (BY, K) split for this "
-                            "grid/mesh/max_iters"
+                    factories.append(
+                        lambda: make_sharded_fused_2d_run(
+                            *common, interpret=self.interpret
                         )
-                    run = make_sharded_fused_run(
-                        self.params,
-                        self.obstacles,
-                        self.free_cells_inv,
-                        self.mesh,
-                        max_iters,
-                        interpret=self.interpret,
                     )
+                factories.append(lambda: make_sharded_2d_run(*common))
             else:
-                run = make_sharded_run(
-                    self.params,
-                    self.obstacles,
-                    self.free_cells_inv,
-                    self.mesh,
-                    max_iters,
+                in_spec = P(None, AXIS, None)
+                if self.kernel in ("fused", "temporal"):
+                    factories = [
+                        lambda: make_sharded_temporal_run(
+                            *common, interpret=self.interpret
+                        )
+                    ]
+                    if self.kernel == "fused":
+                        factories.append(
+                            lambda: make_sharded_fused_run(
+                                *common, interpret=self.interpret
+                            )
+                        )
+                        factories.append(lambda: make_sharded_run(*common))
+                else:
+                    factories = [lambda: make_sharded_run(*common)]
+            spec = jax.ShapeDtypeStruct(
+                (NSPEEDS, self.params.ny, self.params.nx),
+                jnp.float32,
+                sharding=NamedSharding(self.mesh, in_spec),
+            )
+            exe = last_err = None
+            for make in factories:
+                run = make()  # None = this variant admits no valid split
+                if run is None:
+                    continue
+                try:
+                    exe = run.lower(spec).compile()
+                except jax.errors.JaxRuntimeError as e:
+                    last_err = e
+                    continue
+                # Timesteps per kernel pass, as reported by the factory
+                # that actually built the program (temporal attaches
+                # run.chunk); the compiled executable drops the attribute.
+                self._chunks[max_iters] = getattr(run, "chunk", 1)
+                break
+            if exe is None:
+                if last_err is not None:
+                    raise last_err
+                raise ValueError(
+                    "no valid temporal (BY, K) split for this "
+                    "grid/mesh/max_iters"
                 )
-            # Timesteps per kernel pass, as reported by the factory that
-            # actually built the program (temporal attaches run.chunk).
-            self._chunks[max_iters] = getattr(run, "chunk", 1)
-            self._compiled[max_iters] = run
+            self._compiled[max_iters] = exe
         return self._compiled[max_iters]
 
     def chunk(self, max_iters: int | None = None) -> int:

@@ -287,6 +287,45 @@ def test_default_mesh_rejects_oversubscription(eight_devices):
     assert default_mesh(8).shape["y"] == 8
 
 
+def test_compile_fallback_chain(eight_devices, monkeypatch):
+    """A routed kernel variant that fails to COMPILE (the real-TPU VMEM
+    overflow case) must fall back temporal -> fused -> jnp and still run
+    correctly; an explicitly-requested variant must propagate the error."""
+    import jax
+
+    from lbm_tpu.parallel import sharded as sh
+
+    params = dataclasses.replace(PARAMS, ny=32, nx=128, max_iters=8)
+    obstacles = channel_box(params.nx, params.ny)
+    single = Simulator(params, obstacles, kernel="reference").run()
+
+    class Unlowerable:
+        chunk = 4
+
+        def lower(self, *a, **k):
+            raise jax.errors.JaxRuntimeError("synthetic VMEM overflow")
+
+    monkeypatch.setattr(
+        sh, "make_sharded_temporal_run", lambda *a, **k: Unlowerable()
+    )
+    monkeypatch.setattr(
+        sh, "make_sharded_fused_run", lambda *a, **k: Unlowerable()
+    )
+    sim = sh.ShardedSimulator(
+        params, obstacles, mesh=default_mesh(4), kernel="fused"
+    )
+    res = sim.run()
+    assert sim.chunk(8) == 1  # landed on the jnp per-step path
+    np.testing.assert_allclose(res.f, single.f, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=1e-4)
+
+    strict = sh.ShardedSimulator(
+        params, obstacles, mesh=default_mesh(4), kernel="temporal"
+    )
+    with pytest.raises(jax.errors.JaxRuntimeError, match="synthetic"):
+        strict.compiled()
+
+
 def test_rejects_indivisible_grid(eight_devices):
     params = dataclasses.replace(PARAMS, ny=36)
     obstacles = channel_box(params.nx, params.ny)
