@@ -163,6 +163,47 @@ def test_multi_step_random(seed):
     _assert_tracks_fp64(params, obstacles, f32, av32)
 
 
+# ---------------------------------------------------------------------------
+# Randomized sweeps through the SHARDED paths: random geometry (including
+# walls landing on shard boundaries and near the body-force row), random
+# mesh sizes and kernel variants must reproduce the single-device run.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sharded_random(seed):
+    import jax
+
+    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest XLA_FLAGS)")
+    params, obstacles = random_pallas_case(seed + 200)
+    rng = np.random.default_rng(seed)
+    shard_choices = [
+        n for n in (2, 4, 8) if params.ny % n == 0 and params.ny // n >= 8
+    ]
+    n_shards = int(rng.choice(shard_choices))
+    kernel = str(rng.choice(["reference", "fused", "temporal"]))
+    single = Simulator(params, obstacles, kernel="reference").run()
+    sim = ShardedSimulator(
+        params,
+        obstacles,
+        mesh=default_mesh(n_shards),
+        kernel=kernel,
+        interpret=True,
+    )
+    try:
+        res = sim.run()
+    except ValueError as e:
+        # An explicit 'temporal' request may legitimately admit no valid
+        # (BY, K) split for this random grid; anything else is a bug.
+        assert kernel == "temporal" and "temporal" in str(e), e
+        return
+    np.testing.assert_allclose(res.f, single.f, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=1e-4)
+
+
 @pytest.mark.parametrize("seed", [1, 3])
 def test_mass_conserved_on_random_cases(seed):
     params, obstacles = random_case(seed)
