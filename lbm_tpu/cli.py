@@ -180,6 +180,86 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_autotune(args: argparse.Namespace) -> int:
+    """Measure temporal (BY, K) candidates on the actual device and record
+    the winners in the tuning cache (the automatic analog of the
+    reference's per-grid workgroup tuning, ``d2q9-bgk.c:634-637``)."""
+    import dataclasses
+
+    from lbm_tpu.config import CANONICAL_PARAMS, LBMParams
+    from lbm_tpu.geometry import canonical_obstacles, channel_box
+    from lbm_tpu.tuning import autotune_sweep
+
+    if bool(args.case) == bool(args.grid):
+        raise SystemExit("give exactly one of --case / --grid")
+    if args.case:
+        params = CANONICAL_PARAMS[args.case]
+        obstacles = canonical_obstacles(args.case)
+    else:
+        try:
+            ny, nx = (int(v) for v in args.grid.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"--grid must be NYxNX, got {args.grid!r}")
+        params = LBMParams(nx, ny, args.steps, 10, 0.1, 0.005, 1.85)
+        obstacles = channel_box(nx, ny)
+    params = dataclasses.replace(params, max_iters=args.steps)
+
+    results = autotune_sweep(
+        params,
+        obstacles,
+        steps=args.steps,
+        repeats=args.repeats,
+        record_results=not args.dry_run,
+    )
+    if not results:
+        print("no candidate compiled and ran")
+        return 1
+    by, k, us = results[0]
+    glups = params.ny * params.nx / us / 1e3
+    print(f"best: (BY={by}, K={k}) at {us:.2f} us/step = {glups:.1f} GLUPS")
+    print(
+        json.dumps(
+            {
+                "ny": params.ny,
+                "nx": params.nx,
+                "by": by,
+                "k": k,
+                "us_per_step": round(us, 2),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_autotune_main(argv: list[str] | None = None) -> int:
+    """Entry point reused by ``tools/autotune.py``: parse only the
+    autotune flags and run the sweep."""
+    parser = argparse.ArgumentParser(description=cmd_autotune.__doc__)
+    _add_autotune_args(parser)
+    args = parser.parse_args(argv)
+    return cmd_autotune(args)
+
+
+def _add_autotune_args(parser: argparse.ArgumentParser) -> None:
+    from lbm_tpu.config import CANONICAL_PARAMS
+
+    parser.add_argument("--case", choices=sorted(CANONICAL_PARAMS))
+    parser.add_argument("--grid", help="NYxNX for a non-canonical grid")
+    parser.add_argument(
+        "--steps",
+        type=int,
+        default=960,
+        help="timed scan length (divisible by 16 keeps every K candidate "
+        "eligible)",
+    )
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="measure and print but do not write the cache",
+    )
+
+
 def cmd_check(args: argparse.Namespace) -> int:
     from lbm_tpu.checker import compare_files
 
@@ -236,10 +316,17 @@ def build_parser() -> argparse.ArgumentParser:
     check.add_argument("--av-vels-file", required=True)
     check.add_argument("--final-state-file", default=None)
     check.set_defaults(func=cmd_check)
+
+    tune = sub.add_parser(
+        "autotune",
+        help="measure temporal (BY, K) candidates, record the tuning cache",
+    )
+    _add_autotune_args(tune)
+    tune.set_defaults(func=cmd_autotune)
     return parser
 
 
-_COMMANDS = ("run", "bench", "check")
+_COMMANDS = ("run", "bench", "check", "autotune")
 
 
 def main(argv: list[str] | None = None) -> int:

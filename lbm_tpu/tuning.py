@@ -109,3 +109,120 @@ def default_device_kind() -> str:
         return jax.devices()[0].device_kind
     except Exception:
         return ""
+
+
+# -- measurement (the autotuner core; CLI surfaces: `lbm autotune` and
+# -- tools/autotune.py) ------------------------------------------------------
+
+# Window sizes beyond this many cells have never compiled on v5e at the
+# 100 MiB scoped-VMEM limit (docs/PERF.md sweeps: (64+32)x4096 = 393k and
+# (512+16)x1024 = 540k both overflow) — skip without burning a ~40 s
+# remote compile on them.
+_WINDOW_CELL_CAP = 360 * 1024
+
+
+def temporal_candidates(ny: int, nx: int, steps: int) -> list[tuple[int, int]]:
+    """(BY, K) sweep candidates: BY >= 8 (Pallas row-dim tiling), power of
+    two, >= 2 blocks; K in {2, 4, 8, 16} with K <= BY-2 and K | steps;
+    windows beyond the measured VMEM ceiling skipped."""
+    out = []
+    by = 8
+    while by * 2 <= ny:
+        if ny % by == 0:
+            for k in (2, 4, 8, 16):
+                if (
+                    k <= by - 2
+                    and steps % k == 0
+                    and (by + 2 * k) * nx <= _WINDOW_CELL_CAP
+                ):
+                    out.append((by, k))
+        by *= 2
+    return out
+
+
+def time_temporal_candidate(
+    params,
+    obstacles,
+    by: int,
+    k: int,
+    steps: int,
+    repeats: int,
+    log=print,
+) -> float | None:
+    """Best-of-``repeats`` µs/step for one (BY, K) on the actual device, or
+    None on failure (VMEM overflow, compile-service error, invalid split —
+    a sweep logs and moves on).  Timing: long donated-carry scans synced
+    with ``device_get`` (docs/PERF.md methodology — ``block_until_ready``
+    under-reports through the tunnel)."""
+    import functools
+    import time
+
+    import jax
+
+    from lbm_tpu.geometry import free_cells_of
+    from lbm_tpu.ops.fused import build_temporal_program
+    from lbm_tpu.ops.reference import init_cells
+
+    import numpy as np
+
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    try:
+        prog = build_temporal_program(params, obstacles, fcinv, by, k)
+    except ValueError:
+        return None
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(c):
+        return jax.lax.scan(
+            lambda c, _: (prog.step(c)[0], None), c, None, length=steps // k
+        )[0]
+
+    try:
+        carry = prog.init(init_cells(params))
+        carry = run(carry)  # compile + warmup
+        jax.device_get(jax.tree.leaves(carry)[0][0, 0, 0])
+        best = float("inf")
+        for _ in range(repeats):
+            t = time.perf_counter()
+            carry = run(carry)
+            jax.device_get(jax.tree.leaves(carry)[0][0, 0, 0])
+            best = min(best, time.perf_counter() - t)
+        return best / steps * 1e6
+    except Exception as e:  # noqa: BLE001 — a sweep logs and moves on
+        log(f"      [{type(e).__name__}: {str(e).splitlines()[0][:100]}]")
+        return None
+
+
+def autotune_sweep(
+    params,
+    obstacles,
+    steps: int = 960,
+    repeats: int = 3,
+    record_results: bool = True,
+    log=print,
+) -> list[tuple[int, int, float]]:
+    """Measure every temporal (BY, K) candidate for this grid on the
+    actual device and (optionally) record the ranked results in the cache.
+    Returns measured ``(by, k, us_per_step)`` sorted fastest first ([]
+    when nothing compiled/ran)."""
+    ny, nx = params.ny, params.nx
+    kind = default_device_kind()
+    cands = temporal_candidates(ny, nx, steps)
+    if not cands:
+        log(f"no temporal candidates for {ny}x{nx}")
+        return []
+    log(f"device kind: {kind}; grid {ny}x{nx}; {len(cands)} candidates")
+    results = []
+    for by, k in cands:
+        us = time_temporal_candidate(
+            params, obstacles, by, k, steps, repeats, log=log
+        )
+        status = f"{us:8.2f} us/step" if us is not None else "   failed/skipped"
+        log(f"  (BY={by:4d}, K={k:2d}): {status}")
+        if us is not None:
+            results.append((by, k, us))
+    results.sort(key=lambda r: r[2])
+    if results and record_results:
+        path = record(kind, ny, nx, results)
+        log(f"recorded {len(results)} entries -> {path}")
+    return results

@@ -98,24 +98,49 @@ def test_autotune_candidate_enumeration():
     """Candidates must all satisfy the temporal kernel's structural
     constraints (BY >= 8 power-of-two divisor with >= 2 blocks, K <= BY-2,
     K | steps, window within the never-compiles cap)."""
+    cands = tuning.temporal_candidates(1024, 1024, 960)
+    assert (128, 8) in cands
+    assert all(by >= 8 and by % 8 == 0 and 1024 % by == 0 for by, _ in cands)
+    assert all(2 <= k <= by - 2 and 960 % k == 0 for by, k in cands)
+    assert all(
+        (by + 2 * k) * 1024 <= tuning._WINDOW_CELL_CAP for by, k in cands
+    )
+    assert all(by < 1024 for by, _ in cands)  # >= 2 blocks
+    # steps not divisible by 16 must drop the K=16 candidates.
+    assert all(k != 16 for _, k in tuning.temporal_candidates(1024, 1024, 8))
+    # Tiny grids admit nothing.
+    assert tuning.temporal_candidates(8, 128, 960) == []
+    # tools/autotune.py re-exports the same enumeration.
     import sys
     import pathlib
 
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
     import autotune
 
-    cands = autotune.candidates(1024, 1024, 960)
-    assert (128, 8) in cands
-    assert all(by >= 8 and by % 8 == 0 and 1024 % by == 0 for by, _ in cands)
-    assert all(2 <= k <= by - 2 and 960 % k == 0 for by, k in cands)
-    assert all(
-        (by + 2 * k) * 1024 <= autotune._WINDOW_CELL_CAP for by, k in cands
-    )
-    assert all(by < 1024 for by, _ in cands)  # >= 2 blocks
-    # steps not divisible by 16 must drop the K=16 candidates.
-    assert all(k != 16 for _, k in autotune.candidates(1024, 1024, 8))
-    # Tiny grids admit nothing.
-    assert autotune.candidates(8, 128, 960) == []
+    assert autotune.candidates is tuning.temporal_candidates
+
+
+def test_cli_autotune_dry_run(cache_file, monkeypatch, capsys):
+    """`lbm autotune --dry-run` sweeps candidates (measurement stubbed —
+    the Pallas kernel needs real TPU), prints the best pick as JSON, and
+    does not write the cache; without --dry-run it records the results."""
+    from lbm_tpu import cli
+
+    def fake_time(params, obstacles, by, k, steps, repeats, log=print):
+        return 100.0 - by / 8 - k  # bigger (BY, K) measures faster
+    monkeypatch.setattr(tuning, "time_temporal_candidate", fake_time)
+
+    rc = cli.main(["autotune", "--grid", "64x128", "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert (payload["by"], payload["k"]) == (32, 16)
+    assert not cache_file.exists()
+
+    rc = cli.main(["autotune", "--grid", "64x128"])
+    assert rc == 0
+    capsys.readouterr()
+    assert tuning.lookup(tuning.default_device_kind(), 64, 128)[0] == (32, 16)
 
 
 def test_cached_pick_still_runs_correctly(cache_file):
