@@ -603,13 +603,19 @@ def _window_advance(
     aw1: float,
     aw2: float,
     want_av: bool = True,
+    av_lanes: int | None = None,
 ) -> tuple[list[jax.Array], list[jax.Array]]:
     """Advance one trapezoidal window ``ksteps`` timesteps.
 
     Shared body of the temporal pallas kernel and the megakernel.  Returns
     ``(final_planes, parts)`` where ``parts[s]`` is the center-rows
     |u|-sum after internal step ``s`` (empty when ``want_av=False`` — used
-    by the ablation tool to isolate the reduction cost).  The loop is fully unrolled (K is
+    by the ablation tool to isolate the reduction cost).  ``av_lanes``
+    restricts the reduction to the first ``av_lanes`` lanes: on an
+    x-padded 2-D-sharded tile the ghost lanes carry the *neighbor's*
+    fluid mask (they must collide like fluid during internal steps), so
+    without the bound their |u| would be double-counted across shards.
+    The loop is fully unrolled (K is
     small and static): Mosaic pipelines across the unrolled steps —
     measured 73.9 -> 56.7 us/step at 1024^2 versus a fori_loop.  The 9
     planes travel as a LIST (stacking between steps materialized two
@@ -658,15 +664,17 @@ def _window_advance(
         outs, _ = _collide(tmp, fluid, omega, want_part=False)
 
         if want_av:
-            # av over OWNED rows only (the center), valid at every step.
-            ctr = [t[ksteps : ksteps + by, :] for t in tmp]
+            # av over OWNED rows (the center) and OWNED lanes only,
+            # valid at every step.
+            xl = slice(None) if av_lanes is None else slice(0, av_lanes)
+            ctr = [t[ksteps : ksteps + by, xl] for t in tmp]
             rho = functools.reduce(jnp.add, ctr)
             mxc = ctr[1] + ctr[5] + ctr[8] - ctr[3] - ctr[6] - ctr[7]
             myc = ctr[2] + ctr[5] + ctr[6] - ctr[4] - ctr[7] - ctr[8]
             parts.append(
                 jnp.sum(
                     jnp.where(
-                        fluid[ksteps : ksteps + by, :],
+                        fluid[ksteps : ksteps + by, xl],
                         jnp.sqrt(mxc * mxc + myc * myc) / rho,
                         f32(0.0),
                     )
@@ -696,6 +704,7 @@ def _step_kernel_temporal(
     omega: float,
     aw1: float,
     aw2: float,
+    av_lanes: int | None = None,
 ):
     """Trapezoidal temporal blocking: advance the window ``ksteps`` times.
 
@@ -734,6 +743,7 @@ def _step_kernel_temporal(
         omega=omega,
         aw1=aw1,
         aw2=aw2,
+        av_lanes=av_lanes,
     )
     for s, part in enumerate(parts):
 
@@ -840,12 +850,15 @@ def build_temporal_kernel(
     aw2: float,
     *,
     interpret: bool = False,
+    av_lanes: int | None = None,
 ):
     """Raw temporal pallas_call:
     ``call(f, gs, gn, maskext, gates) -> (f', gs', gn', avs)`` with ghost
     slabs [P, K, 9, nx], per-program extended masks [P, BY+2K, nx] and
     int32 gates [1, 2] = (interior kick site on, south-wrap kick site on).
-    ``ny``/``nx`` are the *local* slab dims when used per-shard."""
+    ``ny``/``nx`` are the *local* slab dims when used per-shard;
+    ``av_lanes`` bounds the reduction to the owned lanes of an x-padded
+    tile (2-D sharding — see ``_window_advance``)."""
     grid = ny // by
     center_spec = pl.BlockSpec(
         (NSPEEDS, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -879,6 +892,7 @@ def build_temporal_kernel(
             omega=omega,
             aw1=aw1,
             aw2=aw2,
+            av_lanes=av_lanes,
         ),
         grid=(grid,),
         in_specs=[

@@ -598,6 +598,249 @@ def make_sharded_fused_2d_run(
     return run
 
 
+def make_sharded_temporal_2d_run(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    mesh: Mesh,
+    max_iters: int | None = None,
+    *,
+    by: int | None = None,
+    ksteps: int | None = None,
+    interpret: bool = False,
+) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]] | None:
+    """Temporal blocking on a 2-D (rows x cols) mesh: K timesteps per
+    kernel launch with BOTH exchanges amortized — K-row ghost slabs over
+    the y ring and K-lane ghost columns over the x ring, every K steps.
+
+    The temporal kernel is reused UNCHANGED (as the blocked kernel is in
+    :func:`make_sharded_fused_2d_run`) on an x-padded local tile
+    ``[9, nyl, W]``, ``W = nxl + 128``: the K-wide x halos live at lanes
+    ``[nxl, nxl+K)`` (east neighbor's first K columns) and ``[W-K, W)``
+    (west neighbor's last K), so the kernel's periodic lane rotate over W
+    reads globally-correct values at both tile edges.  Trapezoidal
+    containment holds in x exactly as it does in y: garbage from the dead
+    pad lanes advances one lane per internal step, and a K-wide halo
+    keeps the owned lanes ``[0, nxl)`` valid for all K steps.  Three
+    consequences the 1-D path doesn't have:
+
+    * the extended masks carry the NEIGHBOR's fluid mask in the halo
+      lanes (a halo copy must collide/kick exactly like its owner — with
+      a zero mask it would bounce and diverge from the neighbor's
+      evolution by internal step 2);
+    * the kernel's av reduction is bounded to the owned lanes
+      (``av_lanes=nxl``) or halo cells would be double-counted;
+    * the x strips exchanged every K steps are ``[9, nyl+2K, K]`` — they
+      include the post-y-patch ghost-slab rows, which carries the corner
+      cells the diagonal speeds need (two-phase exchange, as in the 2-D
+      fused path), and they also refresh the halo lanes of every ghost
+      slab slot.
+
+    Returns None when the local tile admits no valid (BY, K) split.
+    Per-step ICI bytes match per-step exchange; message count drops K×.
+    Real-hardware lane alignment wants ``nxl % 128 == 0`` (as for the 2-D
+    fused path); correctness is mesh-equality-tested in interpret mode.
+    """
+    from lbm_tpu.ops.fused import build_temporal_kernel, choose_temporal
+
+    if max_iters is None:
+        max_iters = params.max_iters
+    py, px = mesh.shape[AXIS], mesh.shape[AXIS_X]
+    ny, nx = params.ny, params.nx
+    if ny % py != 0 or nx % px != 0:
+        raise ValueError(f"grid {ny}x{nx} not divisible by mesh {py}x{px}")
+    nyl, nxl = ny // py, nx // px
+    pad = 128
+    w = nxl + pad
+    if by is None or ksteps is None:
+        picked = choose_temporal(
+            nyl, w, max_iters, device_kind=mesh.devices.flat[0].device_kind
+        )
+        if picked is None:
+            return None
+        by, ksteps = picked
+    if nyl % by != 0:
+        raise ValueError(f"BY={by} does not divide local slab nyl={nyl}")
+    if nyl // by < 2:
+        raise ValueError("temporal blocking needs >= 2 row blocks per shard")
+    if max_iters % ksteps != 0 or not 2 <= ksteps <= by - 2:
+        raise ValueError(
+            f"need K | max_iters and 2 <= K <= BY-2 (K={ksteps}, BY={by}, "
+            f"max_iters={max_iters})"
+        )
+    if not interpret and by % 8 != 0:
+        raise ValueError(
+            f"BY={by}: Pallas row blocks must be divisible by 8 to lower "
+            "on TPU (use interpret=True for sub-8 test blocks)"
+        )
+    if 2 * ksteps > pad or ksteps > nxl:
+        raise ValueError(
+            f"K={ksteps} x halos don't fit (need 2K <= {pad} and K <= "
+            f"nxl={nxl})"
+        )
+    p_loc = nyl // by
+    byext = by + 2 * ksteps
+    w1, w2 = accel_weights(params)
+    fcinv = np.float32(free_cells_inv)
+    omega = float(np.float32(params.omega))
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+
+    # Per-(y-shard, x-shard, program) extended masks [byext, W]: owned
+    # columns in lanes [0, nxl), neighbor columns in the two K-wide halo
+    # lane bands, zeros in the dead pad.  Sharded (AXIS, AXIS_X) on the
+    # leading dims.
+    east_cols = lambda sx: (np.arange(ksteps) + (sx + 1) * nxl) % nx
+    west_cols = lambda sx: (np.arange(ksteps) + sx * nxl - ksteps) % nx
+    maskext_host = np.zeros((py * p_loc, px, byext, w), np.float32)
+    for d in range(py):
+        for i in range(p_loc):
+            rows = (
+                np.arange(d * nyl + i * by - ksteps,
+                          d * nyl + i * by + by + ksteps) % ny
+            )
+            for sx in range(px):
+                m = maskext_host[d * p_loc + i, sx]
+                m[:, :nxl] = fluid_host[rows][:, sx * nxl : (sx + 1) * nxl]
+                m[:, nxl : nxl + ksteps] = fluid_host[rows][:, east_cols(sx)]
+                m[:, w - ksteps :] = fluid_host[rows][:, west_cols(sx)]
+
+    call = build_temporal_kernel(
+        nyl,
+        w,
+        by,
+        ksteps,
+        omega,
+        float(w1),
+        float(w2),
+        interpret=interpret,
+        av_lanes=nxl,
+    )
+    ring_y_dn = [(i, (i + 1) % py) for i in range(py)]
+    ring_y_up = [(i, (i - 1) % py) for i in range(py)]
+    ring_x_dn = [(i, (i + 1) % px) for i in range(px)]
+    ring_x_up = [(i, (i - 1) % px) for i in range(px)]
+    south_rows = [
+        np.arange(i * by - ksteps, i * by) % nyl for i in range(p_loc)
+    ]
+    north_rows = [
+        np.arange(i * by + by, i * by + by + ksteps) % nyl
+        for i in range(p_loc)
+    ]
+    # Ghost-slab rows as indices into the [-K, nyl+K) exchange strip
+    # (strip row = local row + K): gs[i] holds local rows i*BY-K..i*BY-1,
+    # gn[i] holds (i+1)*BY..(i+1)*BY+K-1.  No modulo: slot 0 / slot
+    # p_loc-1 hold the CROSS-DEVICE rows (-K.. / nyl..), which the strip
+    # covers via the post-y-patch slab rows.
+    strip_rows_s = np.stack(
+        [i * by + np.arange(ksteps) for i in range(p_loc)]
+    )  # [p_loc, K]
+    strip_rows_n = np.stack(
+        [(i + 1) * by + ksteps + np.arange(ksteps) for i in range(p_loc)]
+    )
+
+    def local_run(f_loc: jax.Array, maskext_loc: jax.Array):
+        yshard = jax.lax.axis_index(AXIS)
+        gates = jnp.stack(
+            [
+                (yshard == py - 1).astype(jnp.int32),
+                (yshard == 0).astype(jnp.int32),
+            ]
+        ).reshape(1, 2)
+        mask_loc = maskext_loc[:, 0]  # [p_loc, byext, W]
+
+        def patch_y(gs, gn):
+            if py == 1:
+                return gs, gn
+            recv_s = jax.lax.ppermute(gs[0], AXIS, ring_y_dn)
+            recv_n = jax.lax.ppermute(gn[p_loc - 1], AXIS, ring_y_up)
+            gs = jnp.concatenate([recv_s[None], gs[1:]], axis=0)
+            gn = jnp.concatenate([gn[: p_loc - 1], recv_n[None]], axis=0)
+            return gs, gn
+
+        def patch_x(f, gs, gn):
+            def strip(lo):  # edge lanes [lo, lo+K) with K-row extensions
+                return jnp.concatenate(
+                    [
+                        jnp.transpose(
+                            gs[0][:, :, lo : lo + ksteps], (1, 0, 2)
+                        ),  # local rows -K..-1 (post y-patch: cross-device)
+                        f[:, :, lo : lo + ksteps],  # rows 0..nyl-1
+                        jnp.transpose(
+                            gn[p_loc - 1][:, :, lo : lo + ksteps], (1, 0, 2)
+                        ),  # rows nyl..nyl+K-1
+                    ],
+                    axis=1,
+                )  # [9, nyl+2K, K]
+
+            send_e, send_w = strip(nxl - ksteps), strip(0)
+            if px == 1:
+                recv_w, recv_e = send_e, send_w  # self-wrap
+            else:
+                recv_w = jax.lax.ppermute(send_e, AXIS_X, ring_x_dn)
+                recv_e = jax.lax.ppermute(send_w, AXIS_X, ring_x_up)
+            # Center tile halo lanes (rows 0..nyl-1) ...
+            f = f.at[:, :, w - ksteps :].set(recv_w[:, ksteps : ksteps + nyl])
+            f = f.at[:, :, nxl : nxl + ksteps].set(
+                recv_e[:, ksteps : ksteps + nyl]
+            )
+
+            # ... and every ghost slab's halo lanes (slot rows gathered
+            # from the strips; [9, p_loc, K, K] -> [p_loc, K, 9, K]).
+            def slab_rows(recv, rows):
+                return jnp.transpose(recv[:, rows, :], (1, 2, 0, 3))
+
+            gs = gs.at[:, :, :, w - ksteps :].set(
+                slab_rows(recv_w, strip_rows_s)
+            )
+            gs = gs.at[:, :, :, nxl : nxl + ksteps].set(
+                slab_rows(recv_e, strip_rows_s)
+            )
+            gn = gn.at[:, :, :, w - ksteps :].set(
+                slab_rows(recv_w, strip_rows_n)
+            )
+            gn = gn.at[:, :, :, nxl : nxl + ksteps].set(
+                slab_rows(recv_e, strip_rows_n)
+            )
+            return f, gs, gn
+
+        def body(carry, _):
+            f, gs, gn = carry
+            gs, gn = patch_y(gs, gn)
+            f, gs, gn = patch_x(f, gs, gn)
+            f2, gs2, gn2, avs = call(f, gs, gn, mask_loc, gates)
+            av = jax.lax.psum(avs[:, 0] * fcinv, (AXIS, AXIS_X))
+            return (f2, gs2, gn2), av
+
+        f_pad = jnp.concatenate(
+            [f_loc, jnp.zeros((NSPEEDS, nyl, pad), jnp.float32)], axis=2
+        )
+        gs0 = jnp.stack(
+            [jnp.transpose(f_pad[:, rows, :], (1, 0, 2)) for rows in south_rows]
+        )
+        gn0 = jnp.stack(
+            [jnp.transpose(f_pad[:, rows, :], (1, 0, 2)) for rows in north_rows]
+        )
+        (f_fin, _, _), avs = jax.lax.scan(
+            body, (f_pad, gs0, gn0), None, length=max_iters // ksteps
+        )
+        return f_fin[:, :, :nxl], avs.reshape(max_iters)
+
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, AXIS_X), P(AXIS, AXIS_X, None, None)),
+        out_specs=(P(None, AXIS, AXIS_X), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(f_global: jax.Array):
+        return sharded(f_global, jnp.asarray(maskext_host))
+
+    run.chunk = ksteps
+    return run
+
+
 def make_sharded_temporal_run(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -776,6 +1019,7 @@ class ShardedSimulator:
         mesh: Mesh | None = None,
         kernel: str = "auto",
         interpret: bool = False,
+        temporal_split: tuple[int, int] | None = None,
     ) -> None:
         self.params = params
         self.obstacles = np.asarray(obstacles, dtype=bool)
@@ -797,6 +1041,9 @@ class ShardedSimulator:
         self.free_cells_inv = np.float32(1.0) / np.float32(self.free_cells)
         self.kernel = kernel
         self.interpret = interpret
+        # Explicit temporal (BY, K) override; None = choose_temporal's
+        # measured-cache/heuristic pick on the local slab.
+        self.temporal_split = temporal_split
         self._compiled: dict[int, Callable] = {}
         self._chunks: dict[int, int] = {}
         self._finalize = None
@@ -832,27 +1079,39 @@ class ShardedSimulator:
             if AXIS_X in self.mesh.shape:
                 # 2-D decomposition: the fused Pallas path (blocked kernel
                 # on an x-padded tile, two-phase ghost exchange) when the
-                # tile admits a row-block split, else the jnp step.
-                if self.kernel == "temporal":
-                    raise ValueError(
-                        "the temporal kernel is not available on 2-D "
-                        "meshes; use kernel='fused' (or a 1-D mesh)"
-                    )
+                # tile admits a row-block split, else the jnp step; an
+                # explicit 'temporal' request gets the K-slab/K-column
+                # variant (no silent fallback).
                 in_spec = P(None, AXIS, AXIS_X)
                 factories = []
-                if self.kernel == "fused":
+                split = self.temporal_split or (None, None)
+                if self.kernel == "temporal":
                     factories.append(
-                        lambda: make_sharded_fused_2d_run(
-                            *common, interpret=self.interpret
+                        lambda: make_sharded_temporal_2d_run(
+                            *common,
+                            by=split[0],
+                            ksteps=split[1],
+                            interpret=self.interpret,
                         )
                     )
-                factories.append(lambda: make_sharded_2d_run(*common))
+                else:
+                    if self.kernel == "fused":
+                        factories.append(
+                            lambda: make_sharded_fused_2d_run(
+                                *common, interpret=self.interpret
+                            )
+                        )
+                    factories.append(lambda: make_sharded_2d_run(*common))
             else:
                 in_spec = P(None, AXIS, None)
+                split = self.temporal_split or (None, None)
                 if self.kernel in ("fused", "temporal"):
                     factories = [
                         lambda: make_sharded_temporal_run(
-                            *common, interpret=self.interpret
+                            *common,
+                            by=split[0],
+                            ksteps=split[1],
+                            interpret=self.interpret,
                         )
                     ]
                     if self.kernel == "fused":

@@ -242,15 +242,97 @@ def test_rejects_unknown_kernel(eight_devices):
         ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2), kernel="fuesd")
 
 
-def test_rejects_temporal_on_2d_mesh(eight_devices):
+@pytest.mark.parametrize("py,px", [(2, 4), (4, 2), (2, 2), (1, 4)])
+def test_sharded_temporal_2d_matches_single_device(eight_devices, py, px):
+    """Temporal blocking on a 2-D mesh (K-row slabs over the y ring,
+    K-lane column strips over the x ring, both every K steps) must
+    reproduce the per-step single-device path exactly — including an
+    interior wall near the body-force row and one crossing the x-shard
+    boundary."""
+    from lbm_tpu.ops.reference import init_cells
+    from lbm_tpu.parallel.sharded import (
+        default_mesh_2d,
+        make_sharded_temporal_2d_run,
+    )
+
+    from lbm_tpu.ops.fused import build_temporal_program
+
+    params = dataclasses.replace(PARAMS, ny=64, nx=64, max_iters=12)
+    obstacles = channel_box(
+        params.nx, params.ny, interior_row=params.ny - 3, interior_col=33
+    )
+    single = Simulator(params, obstacles, kernel="reference").run()
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    run = make_sharded_temporal_2d_run(
+        params,
+        obstacles,
+        fcinv,
+        default_mesh_2d(py, px),
+        by=8,
+        ksteps=2,
+        interpret=True,
+    )
+    assert run is not None and run.chunk == 2
+    f_fin, avs = run(init_cells(params))
+    # vs the jnp reference: same fp-ordering gap the single-chip temporal
+    # kernel has; the av series additionally regroups a positive fp32 sum
+    # across shards (cancellation in the small momenta amplifies lane-
+    # grouping rounding), hence the looser rtol there.
+    np.testing.assert_allclose(
+        np.asarray(f_fin), single.f, rtol=1e-5, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(avs), single.av_vels, rtol=5e-4)
+    # vs the single-chip TEMPORAL program with the same (BY, K): the
+    # decomposition must be exact — f BITWISE equal (identical per-cell op
+    # sequences; only the reduction regroups).
+    prog = build_temporal_program(
+        params, obstacles, fcinv, by=8, ksteps=2, interpret=True
+    )
+    carry = prog.init(init_cells(params))
+    avs_t = []
+    for _ in range(params.max_iters // prog.chunk):
+        carry, av = prog.step(carry)
+        avs_t.append(np.asarray(av))
+    np.testing.assert_array_equal(
+        np.asarray(f_fin), np.asarray(prog.final(carry))
+    )
+    np.testing.assert_allclose(
+        np.asarray(avs), np.concatenate(avs_t), rtol=2e-5
+    )
+
+
+def test_sharded_simulator_routes_2d_temporal(eight_devices):
+    """ShardedSimulator(kernel='temporal') on a 2-D mesh uses the 2-D
+    temporal path end-to-end (no silent fallback); an invalid explicit
+    split still raises."""
     from lbm_tpu.parallel.sharded import default_mesh_2d
 
-    obstacles = channel_box(PARAMS.nx, PARAMS.ny)
+    params = dataclasses.replace(PARAMS, ny=64, nx=64, max_iters=12)
+    obstacles = channel_box(params.nx, params.ny)
+    single = Simulator(params, obstacles, kernel="reference").run()
     sim = ShardedSimulator(
-        PARAMS, obstacles, mesh=default_mesh_2d(2, 2), kernel="temporal"
+        params,
+        obstacles,
+        mesh=default_mesh_2d(2, 2),
+        kernel="temporal",
+        interpret=True,
+        temporal_split=(8, 2),
     )
-    with pytest.raises(ValueError, match="not available on 2-D"):
-        sim.compiled()
+    res = sim.run()
+    assert sim.chunk(12) == 2  # the temporal path actually ran
+    np.testing.assert_allclose(res.f, single.f, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=5e-4)
+    # An invalid explicit split propagates (no silent fallback).
+    bad = ShardedSimulator(
+        params,
+        obstacles,
+        mesh=default_mesh_2d(2, 2),
+        kernel="temporal",
+        interpret=True,
+        temporal_split=(12, 2),
+    )
+    with pytest.raises(ValueError, match="does not divide"):
+        bad.compiled()
 
 
 def test_temporal_rejects_bad_explicit_split(eight_devices):
