@@ -204,6 +204,78 @@ def test_sharded_random(seed):
     np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=1e-4)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_sharded_temporal_2d_random(seed):
+    """Random geometry/physics through the 2-D temporal path (random
+    mesh shape, explicit lowering-valid split) vs single-device."""
+    import jax
+
+    from lbm_tpu.parallel.sharded import (
+        default_mesh_2d,
+        make_sharded_temporal_2d_run,
+    )
+    from lbm_tpu.geometry import free_cells_of
+    from lbm_tpu.ops.reference import init_cells
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest XLA_FLAGS)")
+    rng = np.random.default_rng(seed + 400)
+    # Grids admitting (BY=8, K=2) with >= 2 blocks per y-shard and
+    # nxl >= K on every mesh shape below.
+    ny = int(rng.choice([32, 64]))
+    nx = int(rng.choice([64, 128]))
+    params = LBMParams(
+        nx,
+        ny,
+        24,
+        10,
+        float(rng.uniform(0.05, 0.2)),
+        float(rng.uniform(0.0, 0.01)),
+        float(rng.uniform(0.5, 1.9)),
+    )
+    obstacles = rng.random((ny, nx)) < rng.uniform(0.0, 0.1)
+    obstacles[:, 0] = obstacles[:, -1] = True
+    obstacles[int(rng.integers(ny - 4, ny - 1)), : nx // 2] = True
+    py, px = [(2, 2), (2, 4), (1, 4)][int(rng.integers(3))]
+    single = Simulator(params, obstacles, kernel="reference").run()
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    run = make_sharded_temporal_2d_run(
+        params,
+        obstacles,
+        fcinv,
+        default_mesh_2d(py, px),
+        by=8,
+        ksteps=2,
+        interpret=True,
+    )
+    f_fin, avs = run(init_cells(params))
+    np.testing.assert_allclose(
+        np.asarray(f_fin), single.f, rtol=1e-5, atol=1e-9
+    )
+    # The av series is held to the single-chip TEMPORAL program (same
+    # internal-step algebra; only the reduction regroups across shards) —
+    # a far tighter bound than vs the jnp reference, whose fp-ordering
+    # gap is amplified by cancellation at random tiny av magnitudes.
+    from lbm_tpu.ops.fused import build_temporal_program
+
+    prog = build_temporal_program(
+        params, obstacles, fcinv, by=8, ksteps=2, interpret=True
+    )
+    carry = prog.init(init_cells(params))
+    avs_t = []
+    for _ in range(params.max_iters // prog.chunk):
+        carry, av = prog.step(carry)
+        avs_t.append(np.asarray(av))
+    np.testing.assert_array_equal(
+        np.asarray(f_fin), np.asarray(prog.final(carry))
+    )
+    avs_t = np.concatenate(avs_t)
+    nz = avs_t != 0
+    if nz.any():
+        pct = np.abs((avs_t[nz] - np.asarray(avs)[nz]) / avs_t[nz])
+        assert pct.max() < 2e-5, pct.max()
+
+
 @pytest.mark.parametrize("seed", [1, 3])
 def test_mass_conserved_on_random_cases(seed):
     params, obstacles = random_case(seed)
