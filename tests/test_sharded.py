@@ -233,6 +233,25 @@ def test_bench_sharded_smoke(eight_devices, capsys):
     assert payload["value"] > 0
     assert np.isfinite(payload["av_last"])
 
+    # 2-D mesh mode with an explicit temporal split (interpret-free jnp
+    # path would be the CPU route, so force the split through temporal
+    # validation only — kernel='reference' ignores it).
+    rc = main(
+        [
+            "--mesh", "4x2",
+            "--ny", "128",
+            "--nx", "128",
+            "--max-iters", "20",
+            "--kernel", "reference",
+            "--repeats", "1",
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["shards"] == 8
+    assert "4x2 mesh" in payload["metric"]
+    assert np.isfinite(payload["av_last"])
+
 
 def test_rejects_unknown_kernel(eight_devices):
     obstacles = channel_box(PARAMS.nx, PARAMS.ny)

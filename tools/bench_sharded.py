@@ -1,17 +1,19 @@
 #!/usr/bin/env python3
 """Weak-scaling benchmark: the BASELINE.json configs[4] case — a 4096x4096
-grid row-sharded over a v5e-8 mesh with per-step halo exchange over ICI.
+grid sharded over a v5e-8 mesh with halo exchange over ICI.
 
-Builds the case, runs the 1-D sharded path (temporal Pallas kernel on TPU,
-jnp elsewhere), and reports total + per-chip MLUPS and the ICI halo traffic
-per step.  Timing excludes the device->host readback (the weak-scaling
-metric is sustained on-chip step rate; the ~576 MB f readback at 4096^2 is
-a one-time cost dominated by the host link, reported separately).
+Builds the case, runs the sharded path (Pallas kernels on TPU, jnp
+elsewhere) on a 1-D row mesh or a 2-D rows x cols mesh, and reports total
++ per-chip MLUPS and the ICI halo traffic per step.  Timing excludes the
+device->host readback (the weak-scaling metric is sustained on-chip step
+rate; the ~576 MB f readback at 4096^2 is a one-time cost dominated by
+the host link, reported separately).
 
 One command, ready for real multi-chip hardware:
 
     python tools/bench_sharded.py                      # 4096^2, all devices
     python tools/bench_sharded.py --shards 8 --max-iters 2000
+    python tools/bench_sharded.py --mesh 4x2 --kernel temporal
 
 CPU smoke (the 8-virtual-device mesh used by the test suite):
 
@@ -36,12 +38,16 @@ import numpy as np
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--shards", type=int, default=None,
-                        help="mesh size (default: all devices)")
+                        help="1-D mesh size (default: all devices)")
+    parser.add_argument("--mesh", default=None, metavar="PYxPX",
+                        help="2-D mesh shape, e.g. 4x2 (overrides --shards)")
     parser.add_argument("--ny", type=int, default=4096)
     parser.add_argument("--nx", type=int, default=4096)
     parser.add_argument("--max-iters", type=int, default=2000)
     parser.add_argument("--kernel", default="auto",
                         choices=["auto", "fused", "temporal", "reference"])
+    parser.add_argument("--temporal-split", default=None, metavar="BYxK",
+                        help="explicit temporal (BY, K), e.g. 64x4")
     parser.add_argument("--repeats", type=int, default=3)
     args = parser.parse_args(argv)
 
@@ -50,19 +56,48 @@ def main(argv: list[str] | None = None) -> int:
     from lbm_tpu.config import LBMParams
     from lbm_tpu.geometry import channel_box
     from lbm_tpu.ops.reference import init_cells
-    from lbm_tpu.parallel.sharded import AXIS, ShardedSimulator, default_mesh
+    from lbm_tpu.parallel.sharded import (
+        AXIS,
+        AXIS_X,
+        ShardedSimulator,
+        default_mesh,
+        default_mesh_2d,
+    )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n = args.shards if args.shards is not None else len(jax.devices())
     # Same physics as the canonical cases; a closed channel box (the
     # 1024x1024 case's geometry family) scaled to the weak-scaling grid.
     params = LBMParams(args.nx, args.ny, args.max_iters, 10, 0.1, 0.005, 1.85)
     obstacles = channel_box(args.nx, args.ny)
-    mesh = default_mesh(n)
-    sim = ShardedSimulator(params, obstacles, mesh=mesh, kernel=args.kernel)
+    if args.mesh:
+        py, px = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = default_mesh_2d(py, px)
+        n = py * px
+        in_spec = P(None, AXIS, AXIS_X)
+        mesh_desc = f"{py}x{px} mesh"
+    else:
+        n = args.shards if args.shards is not None else len(jax.devices())
+        mesh = default_mesh(n)
+        in_spec = P(None, AXIS, None)
+        mesh_desc = f"{n} shards"
+    split = None
+    if args.temporal_split:
+        by, k = (int(v) for v in args.temporal_split.lower().split("x"))
+        split = (by, k)
+    # Pallas kernels only execute on TPU; off-TPU (the CPU smoke mesh)
+    # run them in interpret mode so fused/temporal stay exercisable.
+    interpret = jax.default_backend() != "tpu"
+    sim = ShardedSimulator(
+        params,
+        obstacles,
+        mesh=mesh,
+        kernel=args.kernel,
+        temporal_split=split,
+        interpret=interpret,
+    )
     fn = sim.compiled(args.max_iters)
 
-    sharding = NamedSharding(mesh, P(None, AXIS, None))
+    sharding = NamedSharding(mesh, in_spec)
     f = jax.device_put(init_cells(params), sharding)
     f, av = fn(f)  # warmup pass (donated: f is reusable)
     jax.device_get(av[-1])
@@ -77,12 +112,18 @@ def main(argv: list[str] | None = None) -> int:
     cells = params.nx * params.ny
     mlups = cells * args.max_iters / best / 1e6
     # Halo traffic per step per shard: one 9-speed boundary row each way
-    # (the temporal path moves K-row slabs every K steps — same bytes).
-    ici_bytes_per_step = 2 * 9 * params.nx * 4
+    # (the temporal paths move K-row/K-lane slabs every K steps — same
+    # bytes, K x fewer messages); a 2-D mesh adds the column strips.
+    if args.mesh:
+        ici_bytes_per_step = 2 * 9 * 4 * (
+            params.nx // px + (params.ny // py + 2 * (sim.chunk(args.max_iters) or 1))
+        )
+    else:
+        ici_bytes_per_step = 2 * 9 * params.nx * 4
     print(
         json.dumps(
             {
-                "metric": f"weak-scaling {params.ny}x{params.nx} over {n} shards",
+                "metric": f"weak-scaling {params.ny}x{params.nx} over {mesh_desc}",
                 "value": round(mlups / n, 1),
                 "unit": "MLUPS/chip",
                 "total_mlups": round(mlups, 1),
@@ -91,6 +132,7 @@ def main(argv: list[str] | None = None) -> int:
                 "shards": n,
                 "max_iters": args.max_iters,
                 "kernel": sim.kernel,
+                "chunk": sim.chunk(args.max_iters),
                 "av_last": float(np.asarray(jax.device_get(av[-1]))),
             }
         )
