@@ -171,34 +171,38 @@ parse_obstacles(PyObject *self, PyObject *args)
     long free_cells = (long)(nx * ny);
     long xx, yy, blocked;
     long lineno = 0;
-    char line[256];
     /* Line-based parsing (NOT a whitespace-stream fscanf, which would
      * silently re-group values across malformed line boundaries): each
      * non-blank line must hold exactly three integers, same contract as
-     * the pure-Python fallback in geometry.py. */
-    while (fgets(line, sizeof line, fp)) {
+     * the pure-Python fallback in geometry.py.  The line buffer GROWS to
+     * the full physical line (no fixed cap), so arbitrarily wide
+     * whitespace/column formatting parses identically in both parsers —
+     * a fixed fgets buffer would either split long lines into fragments
+     * (each potentially scanning as a valid triplet) or reject padding
+     * the Python parser accepts. */
+    size_t cap = 256;
+    char *line = (char *)malloc(cap);
+    if (!line) {
+        fclose(fp);
+        Py_DECREF(mask_bytes);
+        return PyErr_NoMemory();
+    }
+    while (fgets(line, (int)cap, fp)) {
         ++lineno;
-        /* A full buffer without a newline means the physical line exceeds
-         * the buffer.  Never parse the overflow as if it were new lines
-         * (fragments could each scan as a valid triplet and silently
-         * mis-place obstacles); drain to end-of-line instead, and reject
-         * the line if the drained tail holds anything but whitespace —
-         * exactly what the pure-Python fallback's 3-tokens-per-line
-         * contract does (a whitespace-padded long line stays valid). */
-        if (!strchr(line, '\n') && !feof(fp)) {
-            int c, tail_nonws = 0;
-            while ((c = fgetc(fp)) != EOF && c != '\n') {
-                if (c != ' ' && c != '\t' && c != '\r')
-                    tail_nonws = 1;
-            }
-            if (tail_nonws) {
+        size_t len = strlen(line);
+        while (len > 0 && line[len - 1] != '\n' && !feof(fp)) {
+            cap *= 2;
+            char *bigger = (char *)realloc(line, cap);
+            if (!bigger) {
+                free(line);
                 fclose(fp);
                 Py_DECREF(mask_bytes);
-                PyErr_Format(PyExc_ValueError,
-                             "%s:%ld: expected 3 values per line", path,
-                             lineno);
-                return NULL;
+                return PyErr_NoMemory();
             }
+            line = bigger;
+            if (!fgets(line + len, (int)(cap - len), fp))
+                break;
+            len = strlen(line);
         }
         char extra[8];
         int rv = sscanf(line, "%ld %ld %ld %7s", &xx, &yy, &blocked, extra);
@@ -214,6 +218,7 @@ parse_obstacles(PyObject *self, PyObject *args)
                 continue;
         }
         if (rv != 3) {
+            free(line);
             fclose(fp);
             Py_DECREF(mask_bytes);
             PyErr_Format(PyExc_ValueError,
@@ -221,6 +226,7 @@ parse_obstacles(PyObject *self, PyObject *args)
             return NULL;
         }
         if (xx < 0 || xx >= nx) {
+            free(line);
             fclose(fp);
             Py_DECREF(mask_bytes);
             PyErr_Format(PyExc_ValueError,
@@ -228,6 +234,7 @@ parse_obstacles(PyObject *self, PyObject *args)
             return NULL;
         }
         if (yy < 0 || yy >= ny) {
+            free(line);
             fclose(fp);
             Py_DECREF(mask_bytes);
             PyErr_Format(PyExc_ValueError,
@@ -235,6 +242,7 @@ parse_obstacles(PyObject *self, PyObject *args)
             return NULL;
         }
         if (blocked != 1) {
+            free(line);
             fclose(fp);
             Py_DECREF(mask_bytes);
             PyErr_Format(PyExc_ValueError,
@@ -247,6 +255,7 @@ parse_obstacles(PyObject *self, PyObject *args)
             --free_cells;
         }
     }
+    free(line);
     fclose(fp);
     return Py_BuildValue("(Nl)", mask_bytes, free_cells);
 }

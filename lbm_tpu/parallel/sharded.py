@@ -1042,7 +1042,15 @@ class ShardedSimulator:
         self.kernel = kernel
         self.interpret = interpret
         # Explicit temporal (BY, K) override; None = choose_temporal's
-        # measured-cache/heuristic pick on the local slab.
+        # measured-cache/heuristic pick on the local slab.  Only the
+        # temporal factories consume it — reject combinations that would
+        # silently drop an explicitly-requested split.
+        if temporal_split is not None and kernel not in ("fused", "temporal"):
+            raise ValueError(
+                f"temporal_split={temporal_split} requires kernel='fused' "
+                f"or 'temporal', not {kernel!r} (on CPU, 'auto' resolves "
+                "to 'reference' — pass kernel explicitly)"
+            )
         self.temporal_split = temporal_split
         self._compiled: dict[int, Callable] = {}
         self._chunks: dict[int, int] = {}
@@ -1096,6 +1104,17 @@ class ShardedSimulator:
                     )
                 else:
                     if self.kernel == "fused":
+                        if self.temporal_split is not None:
+                            # An explicit split makes 'fused' prefer the
+                            # temporal variant, mirroring the 1-D chain.
+                            factories.append(
+                                lambda: make_sharded_temporal_2d_run(
+                                    *common,
+                                    by=split[0],
+                                    ksteps=split[1],
+                                    interpret=self.interpret,
+                                )
+                            )
                         factories.append(
                             lambda: make_sharded_fused_2d_run(
                                 *common, interpret=self.interpret

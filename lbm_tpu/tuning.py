@@ -140,6 +140,11 @@ def temporal_candidates(ny: int, nx: int, steps: int) -> list[tuple[int, int]]:
     return out
 
 
+# Progress lines must land immediately even when stdout is piped (each
+# candidate can cost a ~40 s remote compile on real hardware).
+_print_flush = functools.partial(print, flush=True)
+
+
 def time_temporal_candidate(
     params,
     obstacles,
@@ -147,7 +152,7 @@ def time_temporal_candidate(
     k: int,
     steps: int,
     repeats: int,
-    log=print,
+    log=_print_flush,
 ) -> float | None:
     """Best-of-``repeats`` µs/step for one (BY, K) on the actual device, or
     None on failure (VMEM overflow, compile-service error, invalid split —
@@ -199,7 +204,7 @@ def autotune_sweep(
     steps: int = 960,
     repeats: int = 3,
     record_results: bool = True,
-    log=print,
+    log=_print_flush,
 ) -> list[tuple[int, int, float]]:
     """Measure every temporal (BY, K) candidate for this grid on the
     actual device and (optionally) record the ranked results in the cache.

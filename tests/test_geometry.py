@@ -78,13 +78,16 @@ def test_native_python_parser_parity(tmp_path):
         "0 0\n1 1 1 1\n",                 # malformed split
         "1 1 1 9\n",                      # extra token
         "0 0 2\n",                        # bad blocked value
-        # Lines longer than the native parser's 256-byte read buffer: a
-        # whitespace-padded triplet stays valid; anything significant in
-        # the overflow must error in both (the native parser used to
-        # silently split such lines into fragments).
+        # Lines longer than the native parser's initial 256-byte read
+        # buffer (it grows to the full line): wide column formatting must
+        # parse identically in both parsers — including a token that lies
+        # entirely past the initial buffer — and the native parser must
+        # never split a long line into fragments.
         "0 0 1" + " " * 400 + "\n1 1 1\n",
+        "0 0" + " " * 400 + "1\n",
         "1 1 1" + " " * 400 + "9\n",
         "1 1 " + "1" * 400 + "\n",
+        "1 1" + " " * 400 + "2\n",
     ]
     for text in cases:
         path = tmp_path / "obs.dat"

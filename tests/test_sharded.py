@@ -257,6 +257,25 @@ def test_rejects_unknown_kernel(eight_devices):
     obstacles = channel_box(PARAMS.nx, PARAMS.ny)
     with pytest.raises(ValueError, match="unknown sharded kernel"):
         ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2), kernel="mega")
+
+
+def test_temporal_split_requires_temporal_capable_kernel(eight_devices):
+    """An explicit (BY, K) must never be silently dropped: only the
+    fused/temporal routes consume it ('auto' resolves to 'reference' on
+    CPU, which would ignore it)."""
+    obstacles = channel_box(PARAMS.nx, PARAMS.ny)
+    with pytest.raises(ValueError, match="temporal_split"):
+        ShardedSimulator(
+            PARAMS,
+            obstacles,
+            mesh=default_mesh(2),
+            kernel="reference",
+            temporal_split=(8, 2),
+        )
+    with pytest.raises(ValueError, match="temporal_split"):
+        ShardedSimulator(
+            PARAMS, obstacles, mesh=default_mesh(2), temporal_split=(8, 2)
+        )  # auto -> reference on the CPU backend
     with pytest.raises(ValueError, match="unknown sharded kernel"):
         ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2), kernel="fuesd")
 

@@ -111,15 +111,22 @@ def main(argv: list[str] | None = None) -> int:
 
     cells = params.nx * params.ny
     mlups = cells * args.max_iters / best / 1e6
-    # Halo traffic per step per shard: one 9-speed boundary row each way
-    # (the temporal paths move K-row/K-lane slabs every K steps — same
-    # bytes, K x fewer messages); a 2-D mesh adds the column strips.
+    chunk = sim.chunk(args.max_iters) or 1
+    # Halo traffic per step per shard (nominal): one 9-speed boundary
+    # row/column each way per ring that actually crosses devices (the
+    # temporal paths move K-row/K-lane slabs every K steps — same bytes,
+    # K x fewer messages).  Degenerate rings (py==1 / px==1 / 1 shard)
+    # self-wrap locally and move nothing over ICI.  The Pallas 2-D paths
+    # exchange rows at the PADDED tile width (nxl + 128); the x strips
+    # carry their 2K-row y extensions.
     if args.mesh:
-        ici_bytes_per_step = 2 * 9 * 4 * (
-            params.nx // px + (params.ny // py + 2 * (sim.chunk(args.max_iters) or 1))
-        )
+        nyl, nxl = params.ny // py, params.nx // px
+        row_w = nxl if sim.kernel == "reference" else nxl + 128
+        y_bytes = 0 if py == 1 else 2 * 9 * 4 * row_w
+        x_bytes = 0 if px == 1 else 2 * 9 * 4 * (nyl + 2 * chunk)
+        ici_bytes_per_step = y_bytes + x_bytes
     else:
-        ici_bytes_per_step = 2 * 9 * params.nx * 4
+        ici_bytes_per_step = 0 if n == 1 else 2 * 9 * params.nx * 4
     print(
         json.dumps(
             {
