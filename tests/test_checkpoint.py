@@ -87,6 +87,40 @@ def test_sharded_checkpoint_resume(tmp_path):
     assert ckpt.load(tmp_path).step == 30
 
 
+def test_sharded_temporal_2d_checkpoint_resume(tmp_path):
+    """Checkpoint/resume composes with the 2-D temporal path (segment
+    lengths must stay multiples of K; every=8 and the 14-step tail of 30
+    would not, so 30 -> crash at 16 -> resume uses K=2-compatible
+    segments throughout)."""
+    import dataclasses
+
+    import jax
+
+    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh_2d
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    params = dataclasses.replace(PARAMS, ny=32, nx=64, max_iters=32)
+    obstacles = channel_box(params.nx, params.ny)
+
+    def sim():
+        return ShardedSimulator(
+            params,
+            obstacles,
+            mesh=default_mesh_2d(2, 2),
+            kernel="temporal",
+            interpret=True,
+            temporal_split=(8, 2),
+        )
+
+    cont = sim().run()
+    sim().run_checkpointed(tmp_path, every=8, max_iters=16)  # "crash"
+    res = sim().run_checkpointed(tmp_path, every=8)
+    np.testing.assert_array_equal(cont.f, res.f)
+    np.testing.assert_allclose(cont.av_vels, res.av_vels, rtol=1e-5)
+    assert res.steps_per_pass == 2
+
+
 @pytest.mark.parametrize("seed", range(3))
 def test_random_crash_resume_cycles(tmp_path, seed):
     """Property: any sequence of 'crashes' at random segment boundaries
