@@ -94,9 +94,19 @@ class StepProgram:
     step: Callable[[Any], tuple[Any, jax.Array]]
     final: Callable[[Any], jax.Array]
     chunk: int = 1
+    # Host arrays the driver should pass to ``init`` as runtime arguments
+    # (``init(f0, *consts)``) instead of letting ``init`` embed them as
+    # HLO literals.  Only large static operands use this (the temporal
+    # program's extended mask is ~1.1x the grid in f32: at 8192^2 the
+    # embedded literal exceeded the remote compile service's request
+    # limit — HTTP 413 — while the same array as a parameter is free).
+    # ``init`` must also work WITHOUT them (embedding) so tests and
+    # ad-hoc callers stay simple.
+    consts: tuple = ()
 
     def single(self) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
-        """Collapse to a plain ``f -> (f', av)`` one-step function."""
+        """Collapse to a plain ``f -> (f', av)`` one-step function (consts
+        embedded — fine at the sizes this convenience path is used at)."""
 
         def fn(f: jax.Array) -> tuple[jax.Array, jax.Array]:
             carry, av = self.step(self.init(f))
@@ -819,24 +829,32 @@ def build_temporal_program(
     )
     gates = np.ones((1, 2), dtype=np.int32)  # single chip: both kick sites
 
-    def init(f):
+    def init(f, maskext=None):
+        # maskext rides the carry as a runtime argument when the driver
+        # supplies it (see StepProgram.consts); embedded otherwise.
+        if maskext is None:
+            maskext = jnp.asarray(maskext_host)
         gs = jnp.stack(
             [jnp.transpose(f[:, rows, :], (1, 0, 2)) for rows in south_rows]
         )
         gn = jnp.stack(
             [jnp.transpose(f[:, rows, :], (1, 0, 2)) for rows in north_rows]
         )
-        return (f, gs, gn)
+        return (f, gs, gn, maskext)
 
     def step(carry):
-        f, gs, gn = carry
+        f, gs, gn, maskext = carry
         f_new, gs_new, gn_new, avs = call(
-            f, gs, gn, jnp.asarray(maskext_host), jnp.asarray(gates)
+            f, gs, gn, maskext, jnp.asarray(gates)
         )
-        return (f_new, gs_new, gn_new), avs[:, 0] * fcinv
+        return (f_new, gs_new, gn_new, maskext), avs[:, 0] * fcinv
 
     return StepProgram(
-        init=init, step=step, final=lambda c: c[0], chunk=ksteps
+        init=init,
+        step=step,
+        final=lambda c: c[0],
+        chunk=ksteps,
+        consts=(maskext_host,),
     )
 
 

@@ -262,14 +262,22 @@ class Simulator:
         donate = (0,) if readback == "state" else ()
 
         @functools.partial(jax.jit, donate_argnums=donate)
-        def run_scan(f0):
+        def run_scan(f0, *consts):
+            # Large static operands (e.g. the temporal program's extended
+            # mask) enter as ARGUMENTS, not closure constants: an embedded
+            # multi-hundred-MB literal blows the remote compile service's
+            # request limit at big grids (HTTP 413 at 8192^2).
             carry, av = jax.lax.scan(
-                body, program.init(f0), None, length=max_iters // program.chunk
+                body,
+                program.init(f0, *consts),
+                None,
+                length=max_iters // program.chunk,
             )
             if self._collect and program.chunk > 1:
                 av = av.reshape(max_iters)
             return finalize(program.final(carry)), av
 
+        run_scan.consts = program.consts
         return run_scan
 
     def compiled(self, max_iters: int | None = None, readback: str = "state"):
@@ -298,7 +306,27 @@ class Simulator:
                     fn = self._build(
                         max_iters, fallback_level=level, readback=readback
                     )
-                    self._compiled[key] = fn.lower(spec).compile()
+                    consts = getattr(fn, "consts", ())
+                    cspecs = [
+                        jax.ShapeDtypeStruct(
+                            np.asarray(c).shape,
+                            np.asarray(c).dtype,
+                            sharding=spec.sharding,
+                        )
+                        for c in consts
+                    ]
+                    exe = fn.lower(spec, *cspecs).compile()
+                    if consts:
+                        # Bind the device-resident consts so callers keep
+                        # the plain ``fn(f)`` calling convention.
+                        cdev = tuple(
+                            jax.device_put(np.asarray(c), self.device)
+                            for c in consts
+                        )
+                        exe = functools.partial(
+                            (lambda _e, _c, f: _e(f, *_c)), exe, cdev
+                        )
+                    self._compiled[key] = exe
                     break
                 except jax.errors.JaxRuntimeError as e:
                     # e.g. a temporal/multi-step variant exceeding VMEM on
