@@ -44,6 +44,25 @@ from lbm_tpu.ops.reference import accel_weights, collide, init_cells
 AXIS = "y"
 
 
+class _LoweredWithConsts:
+    """Adapter so a factory whose program takes ``(f, *consts)`` still
+    presents the single-argument ``run.lower(spec).compile()(f)`` protocol
+    ``ShardedSimulator.compiled`` uses.  The consts (large static operands
+    like the temporal extended mask) ride as runtime ARGUMENTS — an
+    embedded multi-hundred-MB literal exceeds the remote compile
+    service's request limit at giant grids (HTTP 413 at 8192²; see
+    ``lbm_tpu.ops.fused.StepProgram.consts``)."""
+
+    def __init__(self, lowered, consts):
+        self._lowered = lowered
+        self._consts = consts
+
+    def compile(self):
+        exe = self._lowered.compile()
+        consts = self._consts
+        return lambda f: exe(f, *consts)
+
+
 def default_mesh(n_devices: int | None = None) -> Mesh:
     """1-D mesh over the first ``n_devices`` (all by default).
 
@@ -833,11 +852,22 @@ def make_sharded_temporal_2d_run(
         check_vma=False,
     )
 
+    # Runtime-argument mask, as in the 1-D factory (no giant HLO literal).
+    maskext_dev = jax.device_put(
+        maskext_host, NamedSharding(mesh, P(AXIS, AXIS_X, None, None))
+    )
+
     @functools.partial(jax.jit, donate_argnums=0)
+    def run_base(f_global: jax.Array, maskext: jax.Array):
+        return sharded(f_global, maskext)
+
     def run(f_global: jax.Array):
-        return sharded(f_global, jnp.asarray(maskext_host))
+        return run_base(f_global, maskext_dev)
 
     run.chunk = ksteps
+    run.lower = lambda spec: _LoweredWithConsts(
+        run_base.lower(spec, maskext_dev), (maskext_dev,)
+    )
     return run
 
 
@@ -984,13 +1014,25 @@ def make_sharded_temporal_run(
         check_vma=False,
     )
 
+    # The extended mask enters as a runtime ARGUMENT (committed to the
+    # mesh here), never an HLO literal — see _LoweredWithConsts.
+    maskext_dev = jax.device_put(
+        maskext_host, NamedSharding(mesh, P(AXIS, None, None))
+    )
+
     @functools.partial(jax.jit, donate_argnums=0)
+    def run_base(f_global: jax.Array, maskext: jax.Array):
+        return sharded(f_global, maskext)
+
     def run(f_global: jax.Array):
-        return sharded(f_global, jnp.asarray(maskext_host))
+        return run_base(f_global, maskext_dev)
 
     # Timesteps advanced per kernel pass — read by ShardedSimulator.chunk()
     # for variant-aware bandwidth accounting.
     run.chunk = ksteps
+    run.lower = lambda spec: _LoweredWithConsts(
+        run_base.lower(spec, maskext_dev), (maskext_dev,)
+    )
     return run
 
 
