@@ -191,6 +191,18 @@ parse_obstacles(PyObject *self, PyObject *args)
         ++lineno;
         size_t len = strlen(line);
         while (len > 0 && line[len - 1] != '\n' && !feof(fp)) {
+            /* 64 MiB bounds both memory on hostile input and the (int)
+             * casts below (fgets takes int); no legitimate obstacle line
+             * approaches this. */
+            if (cap >= (size_t)64 * 1024 * 1024) {
+                free(line);
+                fclose(fp);
+                Py_DECREF(mask_bytes);
+                PyErr_Format(PyExc_ValueError,
+                             "%s:%ld: line longer than 64 MiB", path,
+                             lineno);
+                return NULL;
+            }
             cap *= 2;
             char *bigger = (char *)realloc(line, cap);
             if (!bigger) {

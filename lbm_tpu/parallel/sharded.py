@@ -1096,6 +1096,7 @@ class ShardedSimulator:
         self.temporal_split = temporal_split
         self._compiled: dict[int, Callable] = {}
         self._chunks: dict[int, int] = {}
+        self._variants: dict[int, str] = {}
         self._finalize = None
         self._init_compiled = None
 
@@ -1133,15 +1134,18 @@ class ShardedSimulator:
                 # explicit 'temporal' request gets the K-slab/K-column
                 # variant (no silent fallback).
                 in_spec = P(None, AXIS, AXIS_X)
-                factories = []
+                factories = []  # (thunk, variant_name)
                 split = self.temporal_split or (None, None)
                 if self.kernel == "temporal":
                     factories.append(
-                        lambda: make_sharded_temporal_2d_run(
-                            *common,
-                            by=split[0],
-                            ksteps=split[1],
-                            interpret=self.interpret,
+                        (
+                            lambda: make_sharded_temporal_2d_run(
+                                *common,
+                                by=split[0],
+                                ksteps=split[1],
+                                interpret=self.interpret,
+                            ),
+                            "temporal",
                         )
                     )
                 else:
@@ -1150,59 +1154,92 @@ class ShardedSimulator:
                             # An explicit split makes 'fused' prefer the
                             # temporal variant, mirroring the 1-D chain.
                             factories.append(
-                                lambda: make_sharded_temporal_2d_run(
-                                    *common,
-                                    by=split[0],
-                                    ksteps=split[1],
-                                    interpret=self.interpret,
+                                (
+                                    lambda: make_sharded_temporal_2d_run(
+                                        *common,
+                                        by=split[0],
+                                        ksteps=split[1],
+                                        interpret=self.interpret,
+                                    ),
+                                    "temporal",
                                 )
                             )
                         factories.append(
-                            lambda: make_sharded_fused_2d_run(
-                                *common, interpret=self.interpret
+                            (
+                                lambda: make_sharded_fused_2d_run(
+                                    *common, interpret=self.interpret
+                                ),
+                                "fused",
                             )
                         )
-                    factories.append(lambda: make_sharded_2d_run(*common))
+                    factories.append(
+                        (lambda: make_sharded_2d_run(*common), "reference")
+                    )
             else:
                 in_spec = P(None, AXIS, None)
                 split = self.temporal_split or (None, None)
                 if self.kernel in ("fused", "temporal"):
                     factories = [
-                        lambda: make_sharded_temporal_run(
-                            *common,
-                            by=split[0],
-                            ksteps=split[1],
-                            interpret=self.interpret,
+                        (
+                            lambda: make_sharded_temporal_run(
+                                *common,
+                                by=split[0],
+                                ksteps=split[1],
+                                interpret=self.interpret,
+                            ),
+                            "temporal",
                         )
                     ]
                     if self.kernel == "fused":
                         factories.append(
-                            lambda: make_sharded_fused_run(
-                                *common, interpret=self.interpret
+                            (
+                                lambda: make_sharded_fused_run(
+                                    *common, interpret=self.interpret
+                                ),
+                                "fused",
                             )
                         )
-                        factories.append(lambda: make_sharded_run(*common))
+                        factories.append(
+                            (lambda: make_sharded_run(*common), "reference")
+                        )
                 else:
-                    factories = [lambda: make_sharded_run(*common)]
+                    factories = [
+                        (lambda: make_sharded_run(*common), "reference")
+                    ]
             spec = jax.ShapeDtypeStruct(
                 (NSPEEDS, self.params.ny, self.params.nx),
                 jnp.float32,
                 sharding=NamedSharding(self.mesh, in_spec),
             )
             exe = last_err = None
-            for make in factories:
+            for make, name in factories:
                 run = make()  # None = this variant admits no valid split
                 if run is None:
                     continue
                 try:
                     exe = run.lower(spec).compile()
                 except jax.errors.JaxRuntimeError as e:
+                    if name == "temporal" and self.temporal_split is not None:
+                        # The explicitly-requested split built but failed
+                        # to COMPILE; 'fused' routing falls back, but a
+                        # silent drop of an explicit request is a trap.
+                        import warnings
+
+                        warnings.warn(
+                            f"explicit temporal_split={self.temporal_split} "
+                            f"failed to compile "
+                            f"({str(e).splitlines()[0][:120]}); falling "
+                            "back to the next kernel variant",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
                     last_err = e
                     continue
                 # Timesteps per kernel pass, as reported by the factory
                 # that actually built the program (temporal attaches
                 # run.chunk); the compiled executable drops the attribute.
                 self._chunks[max_iters] = getattr(run, "chunk", 1)
+                self._variants[max_iters] = name
                 break
             if exe is None:
                 if last_err is not None:
@@ -1220,6 +1257,14 @@ class ShardedSimulator:
         if max_iters is None:
             max_iters = self.params.max_iters
         return self._chunks.get(max_iters, 1)
+
+    def variant(self, max_iters: int | None = None) -> str:
+        """Which kernel variant the compile fallback chain actually landed
+        on ('temporal' | 'fused' | 'reference') — may differ from
+        ``self.kernel`` when a Pallas variant failed to compile."""
+        if max_iters is None:
+            max_iters = self.params.max_iters
+        return self._variants.get(max_iters, self.kernel)
 
     def run(
         self,

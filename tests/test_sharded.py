@@ -257,6 +257,8 @@ def test_rejects_unknown_kernel(eight_devices):
     obstacles = channel_box(PARAMS.nx, PARAMS.ny)
     with pytest.raises(ValueError, match="unknown sharded kernel"):
         ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2), kernel="mega")
+    with pytest.raises(ValueError, match="unknown sharded kernel"):
+        ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2), kernel="fuesd")
 
 
 def test_temporal_split_requires_temporal_capable_kernel(eight_devices):
@@ -276,8 +278,6 @@ def test_temporal_split_requires_temporal_capable_kernel(eight_devices):
         ShardedSimulator(
             PARAMS, obstacles, mesh=default_mesh(2), temporal_split=(8, 2)
         )  # auto -> reference on the CPU backend
-    with pytest.raises(ValueError, match="unknown sharded kernel"):
-        ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2), kernel="fuesd")
 
 
 @pytest.mark.parametrize("py,px", [(2, 4), (4, 2), (2, 2), (1, 4)])

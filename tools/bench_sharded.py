@@ -119,9 +119,10 @@ def main(argv: list[str] | None = None) -> int:
     # self-wrap locally and move nothing over ICI.  The Pallas 2-D paths
     # exchange rows at the PADDED tile width (nxl + 128); the x strips
     # carry their 2K-row y extensions.
+    variant = sim.variant(args.max_iters)  # what the chain actually ran
     if args.mesh:
         nyl, nxl = params.ny // py, params.nx // px
-        row_w = nxl if sim.kernel == "reference" else nxl + 128
+        row_w = nxl if variant == "reference" else nxl + 128
         y_bytes = 0 if py == 1 else 2 * 9 * 4 * row_w
         x_bytes = 0 if px == 1 else 2 * 9 * 4 * (nyl + 2 * chunk)
         ici_bytes_per_step = y_bytes + x_bytes
@@ -138,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
                 "ici_bytes_per_step_per_shard": ici_bytes_per_step,
                 "shards": n,
                 "max_iters": args.max_iters,
-                "kernel": sim.kernel,
+                "kernel": variant,
                 "chunk": sim.chunk(args.max_iters),
                 "av_last": float(np.asarray(jax.device_get(av[-1]))),
             }
