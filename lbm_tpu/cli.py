@@ -100,22 +100,43 @@ def _run_and_write(args, sim) -> int:
     return 0
 
 
+def _parse_pair(value: str, flag: str) -> tuple[int, int]:
+    """Parse an ``AxB`` flag value into two positive ints."""
+    try:
+        a, b = (int(v) for v in value.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"{flag} must be AxB (e.g. 2x4), got {value!r}")
+    if a < 1 or b < 1:
+        raise SystemExit(f"{flag} values must be positive, got {value!r}")
+    return a, b
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     params, obstacles = _load_case(args.paramfile, args.obstaclefile)
     if args.max_iters is not None:
         import dataclasses
 
         params = dataclasses.replace(params, max_iters=args.max_iters)
-    if args.shards and args.shards > 1:
+    if args.mesh is not None and args.shards != 1:
+        raise SystemExit("give either --shards N (1-D mesh) or --mesh "
+                         "PYxPX (2-D mesh), not both")
+    sharded = args.mesh is not None or (args.shards and args.shards > 1)
+    if sharded:
         # Flags the sharded path doesn't implement must fail loudly rather
         # than be silently ignored.
         if args.device is not None:
-            raise SystemExit("--device cannot be combined with --shards "
-                             "(the mesh spans devices)")
+            raise SystemExit("--device cannot be combined with "
+                             "--shards/--mesh (the mesh spans devices)")
         if args.kernel == "mega":
             raise SystemExit("--kernel mega is single-chip only; use "
-                             "fused/temporal with --shards")
+                             "fused/temporal with --shards/--mesh")
         return _run_sharded(args, params, obstacles)
+    if args.temporal_split is not None:
+        raise SystemExit(
+            "--temporal-split applies to the sharded paths "
+            "(--shards/--mesh); single-chip (BY, K) selection is the "
+            "measured tuning cache — run `lbm autotune` to pin it"
+        )
     device = select_device(args.device)
     # Device inventory + selection line, like the reference's startup
     # stdout (``d2q9-bgk.c:911-918``, 941).
@@ -141,14 +162,64 @@ def cmd_run(args: argparse.Namespace) -> int:
 
 
 def _run_sharded(args, params, obstacles) -> int:
-    """Multi-device run over a 1-D mesh (``--shards N``)."""
-    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+    """Multi-device run over a 1-D (``--shards N``) or 2-D
+    (``--mesh PYxPX``) device mesh, with optional explicit temporal
+    ``--temporal-split BYxK`` — the production surface for every
+    decomposition ``ShardedSimulator`` supports (the BASELINE.json
+    weak-scaling configuration is drivable from this one command, like
+    the reference's one-binary contract, ``d2q9-bgk.c:876-880`` +
+    ``job_submit_d2q9-bgk:48-52``)."""
+    from lbm_tpu.parallel.sharded import (
+        ShardedSimulator,
+        default_mesh,
+        default_mesh_2d,
+    )
 
+    if args.mesh is not None:
+        py, px = _parse_pair(args.mesh, "--mesh")
+        mesh = default_mesh_2d(py, px)
+        print(f"Mesh: {py}x{px} (rows x cols) over {py * px} device(s)")
+    else:
+        mesh = default_mesh(args.shards)
+        print(f"Mesh: {args.shards} device(s), row-sharded")
+    split = None
+    if args.temporal_split is not None:
+        split = _parse_pair(args.temporal_split, "--temporal-split")
+        kernel = args.kernel
+        if kernel in ("auto", "reference"):
+            # An explicit split names the temporal kernel; 'auto' on CPU
+            # would resolve to 'reference' and ShardedSimulator rejects
+            # the combination — resolve it here, loudly.
+            if kernel == "reference":
+                raise SystemExit(
+                    "--temporal-split requires a Pallas kernel "
+                    "(--kernel temporal/fused), not 'reference'"
+                )
+            args.kernel = "temporal"
+    # Pallas TPU kernels only execute on a CPU backend in interpret mode
+    # (the virtual-device test mesh); say so — interpret is orders of
+    # magnitude slower and must never be mistaken for a perf path.
+    import jax
+
+    interpret = (
+        jax.default_backend() == "cpu"
+        and args.kernel in ("fused", "temporal")
+    )
+    if interpret:
+        print("NOTE: CPU backend — Pallas kernels run in interpret mode "
+              "(correctness only, not performance)")
     sim = ShardedSimulator(
-        params, obstacles, mesh=default_mesh(args.shards), kernel=args.kernel
+        params,
+        obstacles,
+        mesh=mesh,
+        kernel=args.kernel,
+        temporal_split=split,
+        interpret=interpret,
     )
     if not args.checkpoint_dir:
         sim.compiled()
+        print(f"Kernel variant: {sim.variant()} "
+              f"(steps/pass {sim.chunk()})")
     return _run_and_write(args, sim)
 
 
@@ -295,6 +366,13 @@ def build_parser() -> argparse.ArgumentParser:
                      metavar="STEPS")
     run.add_argument("--shards", type=int, default=1,
                      help="row-shard over N devices (1-D mesh)")
+    run.add_argument("--mesh", default=None, metavar="PYxPX",
+                     help="2-D spatial decomposition over a PYxPX device "
+                     "mesh (rows x cols); exclusive with --shards")
+    run.add_argument("--temporal-split", default=None, metavar="BYxK",
+                     help="explicit temporal kernel split for the sharded "
+                     "paths: BY-row blocks advancing K steps per pass "
+                     "(default: measured tuning cache / heuristic)")
     run.set_defaults(func=cmd_run)
 
     bench = sub.add_parser("bench", help="timed run, JSON metric output")

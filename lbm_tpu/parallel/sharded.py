@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lbm_tpu.config import LBMParams
 from lbm_tpu.diagnostics import ResultMetrics
+from lbm_tpu.runtime import COMPILE_FALLBACK_ERRORS
 from lbm_tpu.geometry import free_cells_of
 from lbm_tpu.ops.lattice import CX, CY, NSPEEDS, kick_scale
 from lbm_tpu.ops.reference import accel_weights, collide, init_cells
@@ -1106,9 +1107,12 @@ class ShardedSimulator:
         Mirrors ``Simulator.compiled``: compilation happens here, outside
         the timed region, and a routed kernel variant that fails to
         compile on this device (e.g. a temporal window exceeding VMEM —
-        the remote compile service surfaces that as a runtime error)
-        falls back temporal -> fused -> jnp.  An explicitly-requested
-        variant propagates its error instead of silently degrading.
+        the remote compile service surfaces that as a runtime error, or a
+        Mosaic lowering rejection surfacing as ValueError; see
+        ``runtime.COMPILE_FALLBACK_ERRORS``) falls back temporal -> fused
+        -> jnp.  Factory-time validation errors (an explicitly-requested
+        split that is structurally invalid) propagate instead of silently
+        degrading.
         """
         if max_iters is None:
             max_iters = self.params.max_iters
@@ -1218,7 +1222,7 @@ class ShardedSimulator:
                     continue
                 try:
                     exe = run.lower(spec).compile()
-                except jax.errors.JaxRuntimeError as e:
+                except COMPILE_FALLBACK_ERRORS as e:
                     if name == "temporal" and self.temporal_split is not None:
                         # The explicitly-requested split built but failed
                         # to COMPILE; 'fused' routing falls back, but a
@@ -1272,10 +1276,12 @@ class ShardedSimulator:
         readback: str = "state",
         f0: np.ndarray | None = None,
     ) -> ShardedRunResult:
-        """``readback="fields"`` derives (u_x, u_y, |u|, pressure) on the
-        mesh (elementwise over the existing sharding — no resharding) and
-        fetches 4 planes instead of the 9 f-planes; at 4096² that is
-        256 MB instead of 576 MB over the host link."""
+        """``readback="fields"`` computes the compact ``[u_x, u_y, rho]``
+        payload on the mesh (elementwise over the existing sharding — no
+        resharding) and fetches those 3 planes instead of the 9 f-planes
+        (192 MB instead of 576 MB at 4096² over the host link); |u| and
+        pressure are derived on host in fp64 (see
+        ``runtime.raw_fields_fn`` / ``expand_fields``)."""
         from lbm_tpu.runtime import check_readback, expand_fields, raw_fields_fn
 
         check_readback(readback)

@@ -36,6 +36,15 @@ StepFn = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
 
 READBACK_MODES = ("state", "fields")
 
+# Exception types that trigger the kernel-variant compile fallback chain
+# (temporal -> fused -> jnp).  ``jax.errors.JaxRuntimeError`` IS the jaxlib
+# XlaRuntimeError alias on current jaxlib (one class, both names); Mosaic
+# lowering failures additionally surface as ValueError from the Pallas
+# lowering pass.  The chains guard ONLY the lower()/compile() call with
+# this tuple — factory/validation ValueErrors (bad kernel name, invalid
+# explicit split) are raised outside it and propagate.
+COMPILE_FALLBACK_ERRORS = (jax.errors.JaxRuntimeError, ValueError)
+
 
 def raw_fields_fn(params: LBMParams, obstacles: np.ndarray):
     """Device-side ``f -> [u_x, u_y, rho]`` — the COMPACT fields-readback
@@ -302,19 +311,23 @@ class Simulator:
             )
             last_err = None
             for level in range(3):
-                try:
-                    fn = self._build(
-                        max_iters, fallback_level=level, readback=readback
+                # Program construction stays OUTSIDE the guarded region:
+                # its ValueErrors are configuration errors (unknown kernel,
+                # invalid split) that must propagate, not silently degrade
+                # to the jnp path.
+                fn = self._build(
+                    max_iters, fallback_level=level, readback=readback
+                )
+                consts = getattr(fn, "consts", ())
+                cspecs = [
+                    jax.ShapeDtypeStruct(
+                        np.asarray(c).shape,
+                        np.asarray(c).dtype,
+                        sharding=spec.sharding,
                     )
-                    consts = getattr(fn, "consts", ())
-                    cspecs = [
-                        jax.ShapeDtypeStruct(
-                            np.asarray(c).shape,
-                            np.asarray(c).dtype,
-                            sharding=spec.sharding,
-                        )
-                        for c in consts
-                    ]
+                    for c in consts
+                ]
+                try:
                     exe = fn.lower(spec, *cspecs).compile()
                     if consts:
                         # Bind the device-resident consts so callers keep
@@ -328,9 +341,11 @@ class Simulator:
                         )
                     self._compiled[key] = exe
                     break
-                except jax.errors.JaxRuntimeError as e:
+                except COMPILE_FALLBACK_ERRORS as e:
                     # e.g. a temporal/multi-step variant exceeding VMEM on
-                    # this grid; retry with a more conservative kernel.
+                    # this grid (JaxRuntimeError from the compile service)
+                    # or a Mosaic lowering rejection (ValueError); retry
+                    # with a more conservative kernel.
                     last_err = e
             else:
                 raise last_err

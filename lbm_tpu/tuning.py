@@ -27,6 +27,7 @@ import functools
 import json
 import os
 import pathlib
+import tempfile
 
 _DEFAULT_PATH = pathlib.Path(__file__).parent / "tuning_cache.json"
 
@@ -94,9 +95,16 @@ def record(
         for by, k, us in sorted(results, key=lambda r: r[2])
     ]
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(".tmp")
-    tmp.write_text(json.dumps(cache, indent=1, sort_keys=True) + "\n")
-    tmp.replace(path)
+    # Unique temp name: two concurrent sweeps (different grids, one host)
+    # must not collide on a shared .tmp sibling; last-rename-wins is then
+    # the only race left, and it loses at most the other sweep's single
+    # merge (acceptable for a rare, re-runnable measurement write).
+    fd, tmp_name = tempfile.mkstemp(
+        dir=path.parent, prefix=path.name + ".", suffix=".tmp"
+    )
+    with os.fdopen(fd, "w") as fp:
+        fp.write(json.dumps(cache, indent=1, sort_keys=True) + "\n")
+    pathlib.Path(tmp_name).replace(path)
     return path
 
 
@@ -121,21 +129,26 @@ def default_device_kind() -> str:
 _WINDOW_CELL_CAP = 360 * 1024
 
 
-def temporal_candidates(ny: int, nx: int, steps: int) -> list[tuple[int, int]]:
+def temporal_candidates(
+    ny: int, nx: int, steps: int, skipped: list | None = None
+) -> list[tuple[int, int]]:
     """(BY, K) sweep candidates: BY >= 8 (Pallas row-dim tiling), power of
     two, >= 2 blocks; K in {2, 4, 8, 16} with K <= BY-2 and K | steps;
-    windows beyond the measured VMEM ceiling skipped."""
+    windows beyond the measured VMEM ceiling skipped.  The cap is a
+    v5e-measured ceiling applied for every device kind; structurally-valid
+    candidates it prunes are appended to ``skipped`` (when given) so a
+    sweep can report them instead of silently narrowing (they might
+    compile on a larger-VMEM device)."""
     out = []
     by = 8
     while by * 2 <= ny:
         if ny % by == 0:
             for k in (2, 4, 8, 16):
-                if (
-                    k <= by - 2
-                    and steps % k == 0
-                    and (by + 2 * k) * nx <= _WINDOW_CELL_CAP
-                ):
-                    out.append((by, k))
+                if k <= by - 2 and steps % k == 0:
+                    if (by + 2 * k) * nx <= _WINDOW_CELL_CAP:
+                        out.append((by, k))
+                    elif skipped is not None:
+                        skipped.append((by, k))
         by *= 2
     return out
 
@@ -212,7 +225,16 @@ def autotune_sweep(
     when nothing compiled/ran)."""
     ny, nx = params.ny, params.nx
     kind = default_device_kind()
-    cands = temporal_candidates(ny, nx, steps)
+    pruned: list[tuple[int, int]] = []
+    cands = temporal_candidates(ny, nx, steps, skipped=pruned)
+    if pruned:
+        # No-silent-caps rule: the VMEM window cap is v5e-measured and may
+        # be conservative on larger-VMEM devices.
+        log(
+            f"skipping {len(pruned)} candidate(s) beyond the measured "
+            f"v5e VMEM window cap ({_WINDOW_CELL_CAP} cells): "
+            + ", ".join(f"(BY={b}, K={k})" for b, k in pruned)
+        )
     if not cands:
         log(f"no temporal candidates for {ny}x{nx}")
         return []

@@ -128,6 +128,166 @@ def test_run_sharded_flag(small_case, capsys):
     assert (small_case / "sharded" / "av_vels.dat").exists()
 
 
+def test_run_mesh_2d_flag(small_case, capsys):
+    """--mesh PYxPX drives the 2-D decomposition end-to-end from the CLI
+    (VERDICT r2 item 1: the weak-scaling config must be drivable by the
+    production command, not only by tools/bench_sharded.py)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    rc = cli.main(
+        [
+            "run",
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case / "mesh2d"),
+            "--mesh",
+            "2x2",
+            "--max-iters",
+            "50",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "==done==" in out
+    assert "Mesh: 2x2" in out
+    assert (small_case / "mesh2d" / "av_vels.dat").exists()
+
+
+def test_run_mesh_2d_temporal_split(small_case, capsys):
+    """--mesh + --temporal-split routes to the 2-D temporal Pallas kernel
+    (interpret mode on CPU) and reports the variant; the av_vels stream
+    matches the single-chip jnp run within fp32 regrouping noise."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    rc = cli.main(
+        [
+            "run",
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case / "mesh2dt"),
+            "--mesh",
+            "2x2",
+            "--kernel",
+            "temporal",
+            "--temporal-split",
+            "8x2",
+            "--max-iters",
+            "16",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Kernel variant: temporal (steps/pass 2)" in out
+    assert "interpret mode" in out
+    got = np.loadtxt(small_case / "mesh2dt" / "av_vels.dat", usecols=[1])
+    cli.main(
+        [
+            "run",
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case / "single"),
+            "--kernel",
+            "reference",
+            "--max-iters",
+            "16",
+        ]
+    )
+    want = np.loadtxt(small_case / "single" / "av_vels.dat", usecols=[1])
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_run_shards_temporal_split(small_case, capsys):
+    """--shards + --temporal-split drives the 1-D temporal sharded path."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    rc = cli.main(
+        [
+            "run",
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case / "sh1dt"),
+            "--shards",
+            "2",
+            "--temporal-split",
+            "8x2",
+            "--max-iters",
+            "16",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Kernel variant: temporal (steps/pass 2)" in out
+    assert (small_case / "sh1dt" / "av_vels.dat").exists()
+
+
+def test_run_mesh_checkpointed(small_case, capsys):
+    """--mesh + --checkpoint-dir runs segmented over the 2-D mesh."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    rc = cli.main(
+        [
+            "run",
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case / "meshck"),
+            "--mesh",
+            "2x2",
+            "--max-iters",
+            "30",
+            "--checkpoint-dir",
+            str(small_case / "meshckdir"),
+            "--checkpoint-every",
+            "10",
+        ]
+    )
+    assert rc == 0
+    assert "==done==" in capsys.readouterr().out
+    from lbm_tpu import checkpoint as ckpt
+
+    assert ckpt.load(small_case / "meshckdir").step == 30
+
+
+def test_mesh_flag_validation(small_case):
+    base = [
+        "run",
+        str(small_case / "input.params"),
+        str(small_case / "obstacles.dat"),
+    ]
+    with pytest.raises(SystemExit, match="not both"):
+        cli.main(base + ["--mesh", "2x2", "--shards", "2"])
+    with pytest.raises(SystemExit, match="--mesh must be AxB"):
+        cli.main(base + ["--mesh", "4"])
+    with pytest.raises(SystemExit, match="positive"):
+        cli.main(base + ["--mesh", "0x2"])
+    # --temporal-split is a sharded-path flag; silently ignoring it on a
+    # single-chip run would be the trap the loud-failure rule exists for.
+    with pytest.raises(SystemExit, match="--temporal-split"):
+        cli.main(base + ["--temporal-split", "128x8"])
+    with pytest.raises(SystemExit, match="--temporal-split must be AxB"):
+        cli.main(base + ["--shards", "2", "--temporal-split", "banana"])
+    with pytest.raises(SystemExit, match="reference"):
+        cli.main(
+            base
+            + ["--shards", "2", "--kernel", "reference",
+               "--temporal-split", "8x2"]
+        )
+    with pytest.raises(SystemExit, match="--device"):
+        cli.main(base + ["--mesh", "2x2", "--device", "0"])
+
+
 def test_check_subcommand(small_case, reference_dir, capsys):
     """The `lbm check` subcommand drives the full checker protocol."""
     cli.main(
