@@ -28,14 +28,17 @@ from lbm_tpu.config import CANONICAL_PARAMS
 from lbm_tpu.geometry import canonical_obstacles
 from lbm_tpu.validation import run64
 
-# Prefix lengths: long enough that fp32-vs-fp64 drift is exercised, short
-# enough that the fp64 engine regenerates them in minutes (1024x1024 runs
-# at ~2 s/step in float64 NumPy).
+# Series lengths: the two small cases vendor their FULL reference length
+# (40000 steps — a suite without the reference mount then still exercises
+# long-horizon fp32 drift, the exact risk SURVEY §7 flags); the two big
+# cases vendor prefixes long enough to exercise drift while keeping the
+# fp64 engine's regeneration time in minutes (1024² runs at ~0.25 s/step
+# in float64 NumPy).
 PREFIX_STEPS = {
-    "128x128": 1000,
-    "128x256": 1000,
-    "256x256": 600,
-    "1024x1024": 300,
+    "128x128": 40000,  # full length (matches check/128x128.av_vels.dat)
+    "128x256": 40000,  # full length
+    "256x256": 4000,
+    "1024x1024": 600,
 }
 REFERENCE_CHECK = pathlib.Path("/root/reference/check")
 # fp64 engine vs the reference's fp32-GPU-produced goldens: the reference
