@@ -5,9 +5,21 @@ run restarts from zero.  Here a run can snapshot the full resumable state —
 the distribution array ``f`` (which *is* the complete physical state), the
 step index, and the av_vels collected so far — and continue from it.
 
-Format: a single ``.npz`` (portable, no framework dependency) plus a JSON
-header with the params and an obstacle-mask digest so a resume against the
-wrong case fails loudly.
+Two on-disk layouts:
+
+* **v1 (single-chip)**: one ``.npz`` (portable, no framework dependency)
+  with a JSON header carrying the params and an obstacle-mask digest so a
+  resume against the wrong case fails loudly.
+* **v2 (sharded)**: one ``.npz`` per device shard — written straight from
+  ``jax.Array.addressable_shards``, never materializing the gathered
+  global array — plus ``lbm_checkpoint.av.npz`` and a meta JSON written
+  LAST as the commit point.  Shard files are step-stamped, so a crash
+  mid-snapshot leaves the previous complete set referenced by the old
+  meta; stale-step files are pruned after the meta commits.  On a
+  multi-host mesh each process would write only its local shards (the
+  reason per-shard beats a global gather at 8192², where the gathered
+  snapshot is 2.4 GB).  Resume reassembles the global array on host and
+  re-shards to whatever mesh the resuming run uses (cross-mesh resume).
 """
 
 from __future__ import annotations
@@ -22,6 +34,8 @@ import numpy as np
 from lbm_tpu.config import LBMParams
 
 FILENAME = "lbm_checkpoint.npz"
+META_FILENAME = "lbm_checkpoint.meta.json"
+AV_FILENAME = "lbm_checkpoint.av.npz"
 
 
 def _mask_digest(obstacles: np.ndarray) -> str:
@@ -83,12 +97,125 @@ def save(
             av_vels=np.asarray(av_vels[: int(step)], np.float32),
         )
     tmp.replace(path)
+    # A stale v2 meta alongside would shadow this snapshot (load() prefers
+    # v2); remove the whole v2 set.
+    (directory / META_FILENAME).unlink(missing_ok=True)
+    for p in directory.glob("lbm_checkpoint.step*.shard*.npz"):
+        p.unlink(missing_ok=True)
     return path
 
 
+def save_sharded(
+    directory: str | pathlib.Path,
+    params: LBMParams,
+    obstacles: np.ndarray,
+    step: int,
+    f,  # jax.Array [9, ny, nx], possibly sharded over a mesh
+    av_vels: np.ndarray,
+) -> pathlib.Path:
+    """Snapshot a (sharded) device array per shard — no global gather.
+
+    Each addressable shard's slab goes to its own step-stamped ``.npz``
+    (written tmp-then-rename); the meta JSON referencing the exact file
+    set is renamed into place last, making it the commit point.  Bytes
+    moved per shard = ``9 * nyl * nxl * 4`` (reported in the meta for
+    observability).  Works for a single-device array too (one shard).
+    """
+    directory = pathlib.Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    step = int(step)
+    # Dedupe replicated shards by their global offset (a fully-replicated
+    # dim yields the same slab on every device of that mesh axis).
+    slabs: dict[tuple[int, int], np.ndarray] = {}
+    for s in f.addressable_shards:
+        idx = s.index  # (speeds, y, x) slices into the global array
+        y0 = idx[1].start or 0 if len(idx) > 1 else 0
+        x0 = idx[2].start or 0 if len(idx) > 2 else 0
+        slabs.setdefault((y0, x0), np.asarray(s.data, dtype=np.float32))
+    entries = []
+    for k, ((y0, x0), slab) in enumerate(sorted(slabs.items())):
+        name = f"lbm_checkpoint.step{step}.shard{k:04d}.npz"
+        tmp = directory / (name + ".tmp")
+        with open(tmp, "wb") as fp:
+            np.savez(fp, f_local=slab)
+        tmp.replace(directory / name)
+        entries.append(
+            {
+                "file": name,
+                "y0": int(y0),
+                "x0": int(x0),
+                "shape": list(slab.shape),
+                "mbytes": round(slab.nbytes / 1e6, 3),
+            }
+        )
+    av_tmp = directory / (AV_FILENAME + ".tmp")
+    with open(av_tmp, "wb") as fp:
+        np.savez(fp, av_vels=np.asarray(av_vels[:step], np.float32))
+    av_tmp.replace(directory / AV_FILENAME)
+    meta = {
+        "version": 2,
+        "params": dataclasses.asdict(params),
+        "step": step,
+        "mask_digest": _mask_digest(obstacles),
+        "shards": entries,
+    }
+    meta_path = directory / META_FILENAME
+    meta_tmp = directory / (META_FILENAME + ".tmp")
+    meta_tmp.write_text(json.dumps(meta, indent=1) + "\n")
+    meta_tmp.replace(meta_path)
+    # Committed: prune shard files from other steps (and any v1 snapshot —
+    # load() prefers v2, a stale v1 alongside would shadow nothing but
+    # waste space and confuse humans).
+    keep = {e["file"] for e in entries}
+    for p in directory.glob("lbm_checkpoint.step*.shard*.npz"):
+        if p.name not in keep:
+            p.unlink(missing_ok=True)
+    (directory / FILENAME).unlink(missing_ok=True)
+    return meta_path
+
+
+def _load_sharded(directory: pathlib.Path) -> Checkpoint | None:
+    meta_path = directory / META_FILENAME
+    if not meta_path.exists():
+        return None
+    meta = json.loads(meta_path.read_text())
+    if meta.get("version") != 2:
+        raise ValueError(f"unsupported checkpoint version in {meta_path}")
+    params = LBMParams(**meta["params"])
+    f = np.full((9, params.ny, params.nx), np.nan, dtype=np.float32)
+    for e in meta["shards"]:
+        with np.load(directory / e["file"]) as data:
+            slab = data["f_local"]
+        if list(slab.shape) != e["shape"]:
+            raise ValueError(
+                f"shard {e['file']}: shape {slab.shape} != meta {e['shape']}"
+            )
+        f[:, e["y0"] : e["y0"] + slab.shape[1],
+          e["x0"] : e["x0"] + slab.shape[2]] = slab
+    if np.isnan(f).any():
+        raise ValueError(
+            f"sharded checkpoint in {directory} does not tile the full "
+            f"{params.ny}x{params.nx} grid (missing/corrupt shard files)"
+        )
+    with np.load(directory / AV_FILENAME) as data:
+        av = data["av_vels"]
+    return Checkpoint(
+        params=params,
+        step=int(meta["step"]),
+        f=f,
+        av_vels=av,
+        mask_digest=meta["mask_digest"],
+    )
+
+
 def load(directory: str | pathlib.Path) -> Checkpoint | None:
-    """Load the checkpoint in ``directory``, or None if absent."""
-    path = pathlib.Path(directory) / FILENAME
+    """Load the checkpoint in ``directory`` (v2 sharded layout preferred,
+    v1 single-``.npz`` fallback), or None if absent."""
+    directory = pathlib.Path(directory)
+    sharded = _load_sharded(directory)
+    if sharded is not None:
+        return sharded
+    path = directory / FILENAME
     if not path.exists():
         return None
     with np.load(path) as data:

@@ -1331,10 +1331,18 @@ class ShardedSimulator:
             else jax.device_put(jnp.asarray(f0, jnp.float32), sharding)
         )
         f_fin, av = fn(f0)
-        out_host, av_host = jax.device_get(
-            (finalize(f_fin) if finalize else f_fin, av)
-        )
-        out_host, av_host = np.asarray(out_host), np.asarray(av_host)
+        if readback == "device":
+            # f stays sharded on the mesh (checkpointed segments feed it
+            # straight to the next segment / the per-shard snapshot
+            # writer); av depends on every step, so fetching it is the
+            # sync point.
+            out_host = f_fin
+            av_host = np.asarray(jax.device_get(av))
+        else:
+            out_host, av_host = jax.device_get(
+                (finalize(f_fin) if finalize else f_fin, av)
+            )
+            out_host, av_host = np.asarray(out_host), np.asarray(av_host)
         # Timer stops when the download drains; the host-side fp64 field
         # expansion is not device time (same contract as Simulator.run).
         toc = time.perf_counter()
@@ -1344,7 +1352,7 @@ class ShardedSimulator:
             )
         return ShardedRunResult(
             params=dataclasses.replace(self.params, max_iters=max_iters),
-            f=out_host if readback == "state" else None,
+            f=out_host if readback in ("state", "device") else None,
             fields=out_host if readback == "fields" else None,
             av_vels=av_host,
             obstacles=self.obstacles,
@@ -1363,14 +1371,24 @@ class ShardedSimulator:
         resume: bool = True,
     ) -> ShardedRunResult:
         """Segmented sharded run with checkpoint/resume (same contract as
-        ``Simulator.run_checkpointed``; the snapshot stores the gathered
-        global f, so a run can even resume on a different mesh size)."""
+        ``Simulator.run_checkpointed``).  Snapshots are PER-SHARD
+        (:func:`lbm_tpu.checkpoint.save_sharded`): each device's slab is
+        written from ``addressable_shards`` without gathering the global
+        array — at 8192² the gathered snapshot would be 2.4 GB through a
+        ~30 MB/s host link; per-shard files also let every process of a
+        multi-host mesh write only its local slabs.  f stays ON DEVICE
+        between segments (``readback="device"``).  Resume reassembles the
+        global array on host and re-shards, so a run can resume on a
+        different mesh shape."""
+        from lbm_tpu import checkpoint as ckpt
         from lbm_tpu.runtime import run_segments_checkpointed
 
         if max_iters is None:
             max_iters = self.params.max_iters
         f, av, elapsed, executed = run_segments_checkpointed(
-            run_segment=lambda seg, f0: self.run(max_iters=seg, f0=f0),
+            run_segment=lambda seg, f0: self.run(
+                max_iters=seg, f0=f0, readback="device"
+            ),
             precompile=self.compiled,
             params=self.params,
             obstacles=self.obstacles,
@@ -1378,6 +1396,7 @@ class ShardedSimulator:
             every=every,
             max_iters=max_iters,
             resume=resume,
+            save_fn=ckpt.save_sharded,
         )
         if f is None:
             return self.run(max_iters=0)

@@ -34,7 +34,13 @@ from lbm_tpu.ops.reference import init_cells, make_step_fn
 
 StepFn = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
 
-READBACK_MODES = ("state", "fields")
+# "state"  — fetch the 9 f-planes to host.
+# "fields" — fetch the compact [u_x, u_y, rho] payload, expand on host.
+# "device" — return f as the (possibly sharded) on-device array, no fetch
+#            (the checkpointed segment driver's mode: f never round-trips
+#            the host link between segments; av_vels is still fetched, and
+#            that fetch is the sync point the elapsed timer stops on).
+READBACK_MODES = ("state", "fields", "device")
 
 # Exception types that trigger the kernel-variant compile fallback chain
 # (temporal -> fused -> jnp).  ``jax.errors.JaxRuntimeError`` IS the jaxlib
@@ -299,6 +305,10 @@ class Simulator:
         check_readback(readback)
         if max_iters is None:
             max_iters = self.params.max_iters
+        # "device" runs the identical program as "state" (the difference is
+        # only whether the caller fetches) — share the compile cache entry.
+        if readback == "device":
+            readback = "state"
         key = (max_iters, readback)
         if key not in self._compiled:
             # Bind the target device at lowering time; otherwise the
@@ -415,9 +425,19 @@ class Simulator:
             else jax.device_put(jnp.asarray(f0, jnp.float32), self.device)
         )
         out, av = fn(f)
+        if readback == "device":
+            # f stays on device (the checkpointed segment driver feeds it
+            # straight into the next segment); fetch only the av stream —
+            # it depends on every step, so its arrival is the sync point.
+            out_host = out
+            if self._collect:
+                av_host = np.asarray(jax.device_get(av))
+            else:
+                jax.block_until_ready(out)
+                av_host = np.zeros(max_iters, np.float32)
         # One device_get over the tree: copy_to_host_async is issued for
         # both buffers before either host copy drains.
-        if self._collect:
+        elif self._collect:
             out_host, av_host = jax.device_get((out, av))
             out_host, av_host = np.asarray(out_host), np.asarray(av_host)
         else:
@@ -434,7 +454,7 @@ class Simulator:
         run_params = dataclasses.replace(self.params, max_iters=max_iters)
         return RunResult(
             params=run_params,
-            f=out_host if readback == "state" else None,
+            f=out_host if readback in ("state", "device") else None,
             fields=out_host if readback == "fields" else None,
             av_vels=av_host,
             obstacles=self.obstacles,
@@ -461,7 +481,11 @@ class Simulator:
         if max_iters is None:
             max_iters = self.params.max_iters
         f, av, elapsed, executed = run_segments_checkpointed(
-            run_segment=lambda seg, f0: self.run(max_iters=seg, f0=f0),
+            # Device readback: f stays on-chip between segments; the v1
+            # save gathers it once per snapshot (np.asarray inside save).
+            run_segment=lambda seg, f0: self.run(
+                max_iters=seg, f0=f0, readback="device"
+            ),
             precompile=self.compiled,
             params=self.params,
             obstacles=self.obstacles,
@@ -496,18 +520,25 @@ def run_segments_checkpointed(
     every: int,
     max_iters: int,
     resume: bool,
+    save_fn: Callable[..., Any] | None = None,
 ) -> tuple[np.ndarray | None, np.ndarray, float, int]:
     """Shared checkpointed-segment driver (single-chip and sharded runs).
 
     ``run_segment(seg, f0)`` must return an object with ``.f`` and
-    ``.av_vels``; returns ``(f_final, av_vels, elapsed, steps_executed)``
+    ``.av_vels`` — ``.f`` may be an on-device array (``readback="device"``
+    segments keep f off the host link between segments; only snapshots
+    touch it); returns ``(f_final, av_vels, elapsed, steps_executed)``
     with ``f_final`` None when there was no work at all.
     ``steps_executed`` counts only THIS invocation's steps (a resume does
     not re-run the checkpointed prefix) — perf reporting must use it, not
-    ``max_iters``.
+    ``max_iters``.  ``save_fn(dir, params, obstacles, step, f, av)``
+    writes each snapshot (default: the single-``.npz`` v1 writer; sharded
+    callers pass :func:`lbm_tpu.checkpoint.save_sharded`).
     """
     from lbm_tpu import checkpoint as ckpt
 
+    if save_fn is None:
+        save_fn = ckpt.save
     if every <= 0:
         raise ValueError(f"checkpoint interval must be positive: {every}")
 
@@ -545,7 +576,7 @@ def run_segments_checkpointed(
         f = res.f
         av_parts.append(res.av_vels)
         step += seg
-        ckpt.save(
+        save_fn(
             checkpoint_dir,
             params,
             obstacles,

@@ -121,6 +121,116 @@ def test_sharded_temporal_2d_checkpoint_resume(tmp_path):
     assert res.steps_per_pass == 2
 
 
+def test_sharded_checkpoint_is_per_shard(tmp_path):
+    """Sharded snapshots are one file per device slab (written from
+    addressable_shards, never a gathered global array) plus a meta commit
+    point — VERDICT r2 item 6."""
+    import jax
+
+    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    obstacles = channel_box(64, 32)
+    sim = ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(4))
+    res = sim.run_checkpointed(tmp_path, every=30)
+    assert (tmp_path / ckpt.META_FILENAME).exists()
+    assert not (tmp_path / ckpt.FILENAME).exists()  # no v1 global npz
+    shard_files = sorted(tmp_path.glob("lbm_checkpoint.step*.shard*.npz"))
+    assert len(shard_files) == 4
+    import json
+
+    meta = json.loads((tmp_path / ckpt.META_FILENAME).read_text())
+    assert meta["version"] == 2
+    # each shard entry reports its slab geometry + bytes moved
+    for e in meta["shards"]:
+        assert e["shape"] == [9, 8, 64]  # ny=32 over 4 shards
+        assert e["mbytes"] == round(9 * 8 * 64 * 4 / 1e6, 3)
+    loaded = ckpt.load(tmp_path)
+    assert loaded.step == 30
+    np.testing.assert_array_equal(loaded.f, res.f)
+
+
+def test_cross_format_resume(tmp_path):
+    """A v2 (sharded) snapshot resumes on a single chip and a v1
+    (single-chip) snapshot resumes on a mesh — same trajectory."""
+    import jax
+
+    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    obstacles = channel_box(64, 32)
+    cont = make_sim().run()
+    # sharded prefix (v2) -> single-chip tail
+    d1 = tmp_path / "v2_to_v1"
+    ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(4)).run_checkpointed(
+        d1, every=8, max_iters=16
+    )
+    assert (d1 / ckpt.META_FILENAME).exists()
+    res = make_sim().run_checkpointed(d1, every=8)
+    np.testing.assert_array_equal(cont.f, res.f)
+    # single-chip prefix (v1) -> sharded tail; the v1 save also prunes any
+    # stale v2 set so load() can't resurrect an older snapshot
+    d2 = tmp_path / "v1_to_v2"
+    make_sim().run_checkpointed(d2, every=8, max_iters=16)
+    assert (d2 / ckpt.FILENAME).exists()
+    res2 = ShardedSimulator(
+        PARAMS, obstacles, mesh=default_mesh(2)
+    ).run_checkpointed(d2, every=8)
+    np.testing.assert_array_equal(cont.f, np.asarray(res2.f))
+    assert not (d2 / ckpt.FILENAME).exists()  # superseded by the v2 set
+
+
+def test_sharded_checkpoint_crash_atomicity(tmp_path):
+    """A crash mid-snapshot (stray next-step shard files, no meta commit)
+    must leave the previous complete snapshot loadable; the next commit
+    prunes the strays."""
+    import jax
+
+    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    obstacles = channel_box(64, 32)
+    sim = ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2))
+    sim.run_checkpointed(tmp_path, every=8, max_iters=8)
+    before = ckpt.load(tmp_path)
+    assert before.step == 8
+    # simulate a crash partway through writing the step-16 snapshot
+    stray = tmp_path / "lbm_checkpoint.step16.shard0000.npz"
+    stray.write_bytes(b"truncated garbage")
+    loaded = ckpt.load(tmp_path)  # meta still points at the step-8 set
+    assert loaded.step == 8
+    np.testing.assert_array_equal(loaded.f, before.f)
+    res = ShardedSimulator(
+        PARAMS, obstacles, mesh=default_mesh(2)
+    ).run_checkpointed(tmp_path, every=8)
+    assert ckpt.load(tmp_path).step == 30
+    assert not stray.exists()  # pruned by the committed snapshot
+    cont = make_sim().run()
+    np.testing.assert_array_equal(cont.f, np.asarray(res.f))
+
+
+def test_sharded_load_rejects_missing_shard(tmp_path):
+    """A meta referencing an absent/incomplete shard set fails loudly
+    instead of resuming from a hole-filled state."""
+    import jax
+
+    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    obstacles = channel_box(64, 32)
+    ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2)).run_checkpointed(
+        tmp_path, every=8, max_iters=8
+    )
+    victim = sorted(tmp_path.glob("lbm_checkpoint.step*.shard*.npz"))[0]
+    victim.unlink()
+    with pytest.raises((ValueError, FileNotFoundError)):
+        ckpt.load(tmp_path)
+
+
 @pytest.mark.parametrize("seed", range(3))
 def test_random_crash_resume_cycles(tmp_path, seed):
     """Property: any sequence of 'crashes' at random segment boundaries
