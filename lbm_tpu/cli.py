@@ -285,9 +285,10 @@ def cmd_autotune(args: argparse.Namespace) -> int:
     if not results:
         print("no candidate compiled and ran")
         return 1
-    by, k, us = results[0]
+    by, k, us, px = (*results[0], 1)[:4]
     glups = params.ny * params.nx / us / 1e3
-    print(f"best: (BY={by}, K={k}) at {us:.2f} us/step = {glups:.1f} GLUPS")
+    tag = f", Px={px}" if px > 1 else ""
+    print(f"best: (BY={by}, K={k}{tag}) at {us:.2f} us/step = {glups:.1f} GLUPS")
     print(
         json.dumps(
             {
@@ -295,6 +296,7 @@ def cmd_autotune(args: argparse.Namespace) -> int:
                 "nx": params.nx,
                 "by": by,
                 "k": k,
+                "px": px,
                 "us_per_step": round(us, 2),
             }
         )

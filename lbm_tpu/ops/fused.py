@@ -942,6 +942,376 @@ def build_temporal_kernel(
     )
 
 
+def _step_kernel_temporal_xt(
+    c_ref,  # [1, 9, BY, W]        center rows of one (strip, block)
+    gs_ref,  # [1, 1, K, 9, W]     rows [R0-K, R0) at time t
+    gn_ref,  # [1, 1, K, 9, W]     rows [R0+BY, R0+BY+K)
+    maskext_ref,  # [1, BY+2K, W]  window fluid mask (halo lanes carry the
+    #                               x-neighbor's mask, dead pad is 0)
+    out_ref,  # [1, 9, BY, W]
+    gs_out,  # [1, 1, K, 9, W]     ghosts for block (i+1) % P of this strip
+    gn_out,  # [1, 1, K, 9, W]     ghosts for block (i-1) % P
+    avs_ref,  # [K, 1] SMEM        per-internal-step av partials
+    *,
+    by: int,
+    ksteps: int,
+    w: int,
+    omega: float,
+    aw1: float,
+    aw2: float,
+    av_lanes: int,
+):
+    """Temporal window advance on the 2-D (strip, row-block) grid of the
+    single-chip x-tiled schedule (:func:`build_temporal_xtiled_program`).
+
+    Identical algebra to :func:`_step_kernel_temporal` — the second grid
+    dimension only changes which ids gate the body-force sites (row-block
+    id) and which program owns the first av write (strip 0, block 0).
+    Both kick sites are active in every strip: each strip owns its lanes
+    of global row ny-2, and the halo lanes kick under the NEIGHBOR's mask,
+    tracking the owner's evolution exactly (as in the sharded 2-D path).
+    """
+    f32 = jnp.float32
+    i = pl.program_id(1)  # row block within the strip
+    last = pl.num_programs(1) - 1
+    first_program = (pl.program_id(0) == 0) & (i == 0)
+    fluid = maskext_ref[0, :, :] > f32(0.5)
+
+    planes = [
+        jnp.concatenate(
+            [gs_ref[0, 0, :, k, :], c_ref[0, k, :, :], gn_ref[0, 0, :, k, :]],
+            axis=0,
+        )
+        for k in range(NSPEEDS)
+    ]
+    final, parts = _window_advance(
+        planes,
+        fluid,
+        i == last,
+        i == 0,
+        by=by,
+        ksteps=ksteps,
+        nx=w,
+        omega=omega,
+        aw1=aw1,
+        aw2=aw2,
+        av_lanes=av_lanes,
+    )
+    for s, part in enumerate(parts):
+
+        @pl.when(first_program)
+        def _(s=s, part=part):
+            avs_ref[s, 0] = part
+
+        @pl.when(~first_program)
+        def _(s=s, part=part):
+            avs_ref[s, 0] += part
+
+    for k in range(NSPEEDS):
+        out_ref[0, k, :, :] = final[k][ksteps : ksteps + by, :]
+        gn_out[0, 0, :, k, :] = final[k][ksteps : 2 * ksteps, :]
+        gs_out[0, 0, :, k, :] = final[k][by : by + ksteps, :]
+
+
+# Lane padding of each x strip; keeps W lane-aligned while hosting the two
+# K-wide halo bands (same scheme as the sharded 2-D tiles).
+_XT_PAD = 128
+
+
+def build_temporal_xtiled_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    by: int,
+    ksteps: int,
+    px: int,
+    *,
+    interpret: bool = False,
+) -> StepProgram:
+    """Single-chip 2-D-blocked temporal program: the grid is split into
+    ``px`` column strips *and* BY-row blocks, advancing K timesteps per
+    pass (``chunk == ksteps``).
+
+    Motivation (VERDICT r2 item 2 / docs/PERF.md): at giant widths the
+    row-only temporal window caps BY at the VMEM budget / nx — 8192² is
+    forced to (BY=32, K=4) and pays 2K/BY = 25% halo recompute.  Splitting
+    x restores big row blocks: strips of W = nx/px + 128 lanes admit
+    (BY=128, K=4) windows (~13% total halo waste, and the BY=128 pipeline
+    shape that measures fastest at every width — docs/PERF.md sweeps).
+
+    Mechanics (the single-chip composition of the two proven schedules):
+
+    * f is carried strip-major ``[Px, 9, ny, W]``; the two K-wide x-halo
+      lane bands sit at ``[BX, BX+K)`` (east neighbor's first K columns)
+      and ``[W-K, W)`` (west neighbor's last K), so the kernel's periodic
+      lane rotate over W reads globally-correct values for every pull
+      that lands in an owned lane during K internal steps (trapezoidal
+      containment in x, exactly as in ``make_sharded_temporal_2d_run``).
+    * y halos ride the carried ghost slabs with in-kernel ``(i±1) % P``
+      output routing — unchanged from the 1-D temporal kernel; no
+      cross-device patch exists on one chip, so the slabs never touch
+      jnp between passes.
+    * every K steps a jnp patch refreshes the x-halo lanes of f and of
+      every ghost slab from the neighbor strips' edge columns (with
+      ±K-row extensions taken from the slabs, which carries the corner
+      cells) — O(ny·K) cells per strip vs the kernel's O(ny·BX): ~0.2%
+      of the pass traffic, and XLA lowers the static-offset updates as
+      in-place dynamic-update-slices on the donated scan carry.
+    * the in-kernel av reduction is bounded to the owned lanes
+      (``av_lanes = BX``); halo lanes collide under the neighbor's mask
+      but are never counted.
+    """
+    ny, nx = params.ny, params.nx
+    if nx % px != 0:
+        raise ValueError(f"px={px} does not divide nx={nx}")
+    bx = nx // px
+    if px < 2:
+        raise ValueError("x-tiling needs px >= 2 (use the 1-D temporal "
+                         "program for a single strip)")
+    w = bx + _XT_PAD
+    if not interpret and (bx % 128 != 0):
+        raise ValueError(
+            f"BX={bx}: x strips must be lane-aligned (multiple of 128) "
+            "to lower on TPU"
+        )
+    if ny % by != 0:
+        raise ValueError(f"BY={by} does not divide ny={ny}")
+    p_loc = ny // by
+    if p_loc < 2:
+        raise ValueError("temporal blocking needs >= 2 row blocks")
+    if not interpret and by % 8 != 0:
+        raise ValueError(
+            f"BY={by}: Pallas row blocks must be divisible by 8 to lower "
+            "on TPU (use interpret=True for sub-8 test blocks)"
+        )
+    if not 2 <= ksteps <= by - 2:
+        raise ValueError(f"need 2 <= K <= BY-2, got K={ksteps}, BY={by}")
+    if 2 * ksteps > _XT_PAD or ksteps > bx:
+        raise ValueError(
+            f"K={ksteps} x halos don't fit (need 2K <= {_XT_PAD} and "
+            f"K <= BX={bx})"
+        )
+    byext = by + 2 * ksteps
+    aw1, aw2 = accel_weights(params)
+    fcinv = np.float32(free_cells_inv)
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+
+    # Per-(strip, block) extended masks [Px * p_loc, byext, W]: owned
+    # lanes [0, BX), neighbor columns in the halo bands, zeros in the
+    # dead pad (same construction as the sharded 2-D temporal factory,
+    # sharded.py:make_sharded_temporal_2d_run).
+    east_cols = lambda s: (np.arange(ksteps) + (s + 1) * bx) % nx
+    west_cols = lambda s: (np.arange(ksteps) + s * bx - ksteps) % nx
+    maskext_host = np.zeros((px * p_loc, byext, w), np.float32)
+    for s in range(px):
+        for i in range(p_loc):
+            rows = np.arange(i * by - ksteps, i * by + by + ksteps) % ny
+            m = maskext_host[s * p_loc + i]
+            m[:, :bx] = fluid_host[rows][:, s * bx : (s + 1) * bx]
+            m[:, bx : bx + ksteps] = fluid_host[rows][:, east_cols(s)]
+            m[:, w - ksteps :] = fluid_host[rows][:, west_cols(s)]
+
+    south_rows = [
+        np.arange(i * by - ksteps, i * by) % ny for i in range(p_loc)
+    ]
+    north_rows = [
+        np.arange(i * by + by, i * by + by + ksteps) % ny
+        for i in range(p_loc)
+    ]
+    # Ghost-slab rows as indices into the [-K, ny+K) edge-strip rows
+    # (strip row = grid row + K): slot i south = rows i*BY-K..i*BY-1,
+    # north = (i+1)*BY..(i+1)*BY+K-1.
+    strip_rows_s = np.stack(
+        [i * by + np.arange(ksteps) for i in range(p_loc)]
+    )  # [p_loc, K]
+    strip_rows_n = np.stack(
+        [(i + 1) * by + ksteps + np.arange(ksteps) for i in range(p_loc)]
+    )
+
+    center_spec = pl.BlockSpec(
+        (1, NSPEEDS, by, w), lambda s, i: (s, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ghost_in_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, w), lambda s, i: (s, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gn_out_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, w),
+        lambda s, i: (s, (i - 1) % p_loc, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gs_out_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, w),
+        lambda s, i: (s, (i + 1) % p_loc, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    maskext_spec = pl.BlockSpec(
+        (1, byext, w), lambda s, i: (s * p_loc + i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    fs_shape = jax.ShapeDtypeStruct((px, NSPEEDS, ny, w), jnp.float32)
+    ghost_shape = jax.ShapeDtypeStruct(
+        (px, p_loc, ksteps, NSPEEDS, w), jnp.float32
+    )
+    call = pl.pallas_call(
+        functools.partial(
+            _step_kernel_temporal_xt,
+            by=by,
+            ksteps=ksteps,
+            w=w,
+            omega=float(np.float32(params.omega)),
+            aw1=float(aw1),
+            aw2=float(aw2),
+            av_lanes=bx,
+        ),
+        grid=(px, p_loc),
+        in_specs=[center_spec, ghost_in_spec, ghost_in_spec, maskext_spec],
+        out_specs=[
+            center_spec,
+            gs_out_spec,
+            gn_out_spec,
+            pl.BlockSpec(
+                (ksteps, 1), lambda s, i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_shape=[
+            fs_shape,
+            ghost_shape,
+            ghost_shape,
+            jax.ShapeDtypeStruct((ksteps, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(px * ny * w * 110 * ksteps),
+            bytes_accessed=int((2 * NSPEEDS + 1) * px * ny * w * 4),
+            transcendentals=int(px * ny * w * ksteps),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )
+
+    def patch_x(fs, gs, gn):
+        """Refresh the x-halo lane bands of f and of every ghost slab from
+        the neighbor strips' edge columns (±K-row extensions from the
+        slabs carry the corners)."""
+
+        def strip(lo):  # [Px, 9, ny+2K, K]
+            return jnp.concatenate(
+                [
+                    jnp.transpose(gs[:, 0, :, :, lo : lo + ksteps], (0, 2, 1, 3)),
+                    fs[:, :, :, lo : lo + ksteps],
+                    jnp.transpose(
+                        gn[:, p_loc - 1, :, :, lo : lo + ksteps], (0, 2, 1, 3)
+                    ),
+                ],
+                axis=2,
+            )
+
+        send_e, send_w = strip(bx - ksteps), strip(0)
+        recv_w = jnp.roll(send_e, 1, axis=0)  # strip s <- strip s-1's east edge
+        recv_e = jnp.roll(send_w, -1, axis=0)  # strip s <- strip s+1's west edge
+        fs = fs.at[:, :, :, w - ksteps :].set(recv_w[:, :, ksteps : ksteps + ny])
+        fs = fs.at[:, :, :, bx : bx + ksteps].set(
+            recv_e[:, :, ksteps : ksteps + ny]
+        )
+
+        def slab_rows(recv, rows):  # [Px, p_loc, K, 9, K]
+            return jnp.transpose(recv[:, :, rows, :], (0, 2, 3, 1, 4))
+
+        gs = gs.at[:, :, :, :, w - ksteps :].set(slab_rows(recv_w, strip_rows_s))
+        gs = gs.at[:, :, :, :, bx : bx + ksteps].set(
+            slab_rows(recv_e, strip_rows_s)
+        )
+        gn = gn.at[:, :, :, :, w - ksteps :].set(slab_rows(recv_w, strip_rows_n))
+        gn = gn.at[:, :, :, :, bx : bx + ksteps].set(
+            slab_rows(recv_e, strip_rows_n)
+        )
+        return fs, gs, gn
+
+    def init(f, maskext=None):
+        if maskext is None:
+            maskext = jnp.asarray(maskext_host)
+        fs = jnp.transpose(f.reshape(NSPEEDS, ny, px, bx), (2, 0, 1, 3))
+        fs = jnp.concatenate(
+            [fs, jnp.zeros((px, NSPEEDS, ny, _XT_PAD), jnp.float32)], axis=3
+        )
+        gs = jnp.stack(
+            [
+                jnp.transpose(fs[:, :, rows, :], (0, 2, 1, 3))
+                for rows in south_rows
+            ],
+            axis=1,
+        )
+        gn = jnp.stack(
+            [
+                jnp.transpose(fs[:, :, rows, :], (0, 2, 1, 3))
+                for rows in north_rows
+            ],
+            axis=1,
+        )
+        return (fs, gs, gn, maskext)
+
+    def step(carry):
+        fs, gs, gn, maskext = carry
+        fs, gs, gn = patch_x(fs, gs, gn)
+        fs2, gs2, gn2, avs = call(fs, gs, gn, maskext)
+        return (fs2, gs2, gn2, maskext), avs[:, 0] * fcinv
+
+    def final(carry):
+        fs = carry[0]
+        return jnp.transpose(fs[:, :, :, :bx], (1, 2, 0, 3)).reshape(
+            NSPEEDS, ny, nx
+        )
+
+    return StepProgram(
+        init=init,
+        step=step,
+        final=final,
+        chunk=ksteps,
+        consts=(maskext_host,),
+    )
+
+
+def choose_temporal_xtiled(
+    ny: int, nx: int, max_iters: int
+) -> tuple[int, int, int] | None:
+    """Pick (BY, K, Px) for the x-tiled temporal schedule, or None when
+    plain row blocking is the better (or only) choice.
+
+    Heuristic (docs/PERF.md): strips of ~2048 owned lanes hit the
+    measured sweet spot (22.3 GLUPS at 2048² with (128, 4)); x-tiling
+    only pays once the row-only window cap forces BY below 64 — at
+    nx = 8192 that cap is BY=32 (25% halo waste) while strips restore
+    BY=128 (~13% total waste incl. the lane pad).
+    """
+    if nx < 8192 or nx % 2048 != 0:
+        return None
+    px = nx // 2048
+    bx = nx // px
+    if bx % 128 != 0 or ny < 16:
+        return None
+    _, window_budget, k_pref = _temporal_tuning(nx)
+    w = bx + _XT_PAD
+    for ksteps in k_pref:
+        if max_iters % ksteps != 0 or 2 * ksteps > _XT_PAD:
+            continue
+        by = _largest_block_rows(ny, w, window_budget)
+        while by is not None and by >= 8 and (by + 2 * ksteps) * w > window_budget:
+            by //= 2
+        if (
+            by is not None
+            and by >= 8
+            and ksteps <= by - 2
+            and ny % by == 0
+            and ny // by >= 2
+        ):
+            return by, ksteps, px
+    return None
+
+
 def _step_kernel_mega(
     f_hbm,  # ANY [9, ny, nx] (aliased to fout_hbm)
     gs0_hbm,  # ANY [P, 9, K, nx] initial south ghost slabs
@@ -1263,6 +1633,59 @@ def _structurally_valid(ny: int, by: int, ksteps: int, max_iters: int) -> bool:
     )
 
 
+def _xtiled_structurally_valid(
+    ny: int, nx: int, by: int, ksteps: int, px: int, max_iters: int
+) -> bool:
+    """The x-tiled temporal kernel's hard constraints (the build-time
+    checks of :func:`build_temporal_xtiled_program`, TPU lowering form)."""
+    if px < 2 or nx % px != 0:
+        return False
+    bx = nx // px
+    return (
+        bx % 128 == 0  # lane-aligned strips
+        and by % 8 == 0
+        and ny % by == 0
+        and ny // by >= 2
+        and 2 <= ksteps <= by - 2
+        and max_iters % ksteps == 0
+        and 2 * ksteps <= _XT_PAD
+        and ksteps <= bx
+    )
+
+
+def choose_schedule(
+    ny: int, nx: int, max_iters: int, device_kind: str | None = None
+) -> tuple[int, int, int] | None:
+    """Unified temporal-schedule chooser: ``(BY, K, Px)`` with Px = 1 for
+    plain row blocking, Px > 1 for the x-tiled schedule; None when neither
+    applies (whole-grid / multi-step cases).
+
+    Precedence: the measured tuning cache first — entries are ranked
+    fastest-first by ``lbm autotune``, which sweeps BOTH schedules, so the
+    first structurally-valid entry wins regardless of its Px — then the
+    x-tiled width heuristic (:func:`choose_temporal_xtiled`), then the
+    row-only heuristics (:func:`choose_temporal`).
+    """
+    from lbm_tpu import tuning
+
+    if device_kind is None:
+        device_kind = tuning.default_device_kind()
+    for by, ksteps, px in tuning.lookup(device_kind, ny, nx):
+        if px == 1 and _structurally_valid(ny, by, ksteps, max_iters):
+            return by, ksteps, 1
+        if px > 1 and _xtiled_structurally_valid(
+            ny, nx, by, ksteps, px, max_iters
+        ):
+            return by, ksteps, px
+    picked_xt = choose_temporal_xtiled(ny, nx, max_iters)
+    if picked_xt is not None:
+        return picked_xt
+    picked = choose_temporal(ny, nx, max_iters, device_kind=device_kind)
+    if picked is not None:
+        return picked[0], picked[1], 1
+    return None
+
+
 def choose_temporal(
     ny: int, nx: int, max_iters: int, device_kind: str | None = None
 ) -> tuple[int, int] | None:
@@ -1279,8 +1702,8 @@ def choose_temporal(
 
     if device_kind is None:
         device_kind = tuning.default_device_kind()
-    for by, ksteps in tuning.lookup(device_kind, ny, nx):
-        if _structurally_valid(ny, by, ksteps, max_iters):
+    for by, ksteps, px in tuning.lookup(device_kind, ny, nx):
+        if px == 1 and _structurally_valid(ny, by, ksteps, max_iters):
             return by, ksteps
     block_budget, window_budget, k_pref = _temporal_tuning(nx)
     by_max = _largest_block_rows(ny, nx, block_budget)
@@ -1350,11 +1773,21 @@ def make_fused_program(
                 params, obstacles, free_cells_inv, chunk, interpret=interpret
             )
     if by < params.ny and max_iters is not None:
-        picked = choose_temporal(
+        picked = choose_schedule(
             params.ny, params.nx, max_iters, device_kind=device_kind
         )
         if picked is not None:
-            t_by, ksteps = picked
+            t_by, ksteps, px = picked
+            if px > 1:
+                return build_temporal_xtiled_program(
+                    params,
+                    obstacles,
+                    free_cells_inv,
+                    t_by,
+                    ksteps,
+                    px,
+                    interpret=interpret,
+                )
             return build_temporal_program(
                 params,
                 obstacles,

@@ -673,9 +673,14 @@ def make_sharded_temporal_2d_run(
     pad = 128
     w = nxl + pad
     if by is None or ksteps is None:
-        picked = choose_temporal(
-            nyl, w, max_iters, device_kind=mesh.devices.flat[0].device_kind
-        )
+        kind = mesh.devices.flat[0].device_kind
+        if not interpret:
+            # Opt-in (LBM_AUTOTUNE_ON_MISS=1): measure the local slab
+            # shape on first compile instead of trusting the heuristic.
+            from lbm_tpu import tuning
+
+            tuning.maybe_autotune_slab(nyl, w, kind)
+        picked = choose_temporal(nyl, w, max_iters, device_kind=kind)
         if picked is None:
             return None
         by, ksteps = picked
@@ -906,12 +911,14 @@ def make_sharded_temporal_run(
         raise ValueError(f"ny={ny} not divisible by mesh size {n_shards}")
     ny_loc = ny // n_shards
     if by is None or ksteps is None:
-        picked = choose_temporal(
-            ny_loc,
-            nx,
-            max_iters,
-            device_kind=mesh.devices.flat[0].device_kind,
-        )
+        kind = mesh.devices.flat[0].device_kind
+        if not interpret:
+            # Opt-in (LBM_AUTOTUNE_ON_MISS=1): measure the local slab
+            # shape on first compile instead of trusting the heuristic.
+            from lbm_tpu import tuning
+
+            tuning.maybe_autotune_slab(ny_loc, nx, kind)
+        picked = choose_temporal(ny_loc, nx, max_iters, device_kind=kind)
         if picked is None:
             return None  # no valid auto split; caller falls back
         by, ksteps = picked

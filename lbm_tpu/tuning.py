@@ -13,9 +13,13 @@ Cache format (JSON)::
 
     {"<device_kind>|<ny>x<nx>": [[by, k, us_per_step], ...]}  # best first
 
-Lookup order in ``choose_temporal``: first cache entry whose K divides
-``max_iters`` (and satisfies the kernel's structural constraints), then
-the heuristics.  The cache file is resolved from ``LBM_TUNING_CACHE`` or
+A 4th element ``px`` marks an x-tiled-schedule entry
+(``build_temporal_xtiled_program`` with ``px`` column strips); absent
+means plain row blocking (px = 1) — the legacy 3-element form stays valid.
+
+Lookup order in ``choose_schedule``: first cache entry whose (BY, K, Px)
+satisfies its kernel's structural constraints (K divides ``max_iters``
+etc.), then the heuristics.  The cache file is resolved from ``LBM_TUNING_CACHE`` or
 defaults to ``lbm_tpu/tuning_cache.json`` (shipped with measured v5e
 entries); a missing/corrupt file silently disables the cache — tuning is
 an accelerator, never a correctness dependency.
@@ -61,9 +65,12 @@ def load_cache() -> dict:
     return _load(str(path), mtime)
 
 
-def lookup(device_kind: str, ny: int, nx: int) -> list[tuple[int, int]]:
-    """Ranked measured (BY, K) candidates for this device/grid (best
-    first); [] when the cache has no entry."""
+def lookup(
+    device_kind: str, ny: int, nx: int
+) -> list[tuple[int, int, int]]:
+    """Ranked measured (BY, K, Px) candidates for this device/grid (best
+    first; Px = 1 for plain row-blocked entries — the 3-element legacy
+    entry form); [] when the cache has no entry."""
     entries = load_cache().get(_key(device_kind, ny, nx), [])
     if not isinstance(entries, list):
         return []
@@ -73,7 +80,8 @@ def lookup(device_kind: str, ny: int, nx: int) -> list[tuple[int, int]]:
         # is an accelerator, never a correctness dependency.
         try:
             if isinstance(e, (list, tuple)) and len(e) >= 2:
-                out.append((int(e[0]), int(e[1])))
+                px = int(e[3]) if len(e) >= 4 else 1
+                out.append((int(e[0]), int(e[1]), px))
         except (TypeError, ValueError):
             continue
     return out
@@ -83,16 +91,22 @@ def record(
     device_kind: str,
     ny: int,
     nx: int,
-    results: list[tuple[int, int, float]],
+    results: list[tuple],
 ) -> pathlib.Path:
-    """Store measured ``(by, k, us_per_step)`` results (sorted fastest
-    first) for this device/grid, merging with existing entries for other
-    keys.  Atomic write."""
+    """Store measured ``(by, k, us_per_step[, px])`` results (sorted
+    fastest first; ``px`` defaults to 1 = plain row blocking and is
+    stored only when > 1, keeping the legacy 3-element entry form) for
+    this device/grid, merging with existing entries for other keys.
+    Atomic write."""
     path = cache_path()
     cache = dict(load_cache())
     cache[_key(device_kind, ny, nx)] = [
-        [int(by), int(k), round(float(us), 3)]
-        for by, k, us in sorted(results, key=lambda r: r[2])
+        (
+            [int(r[0]), int(r[1]), round(float(r[2]), 3)]
+            if len(r) < 4 or int(r[3]) <= 1
+            else [int(r[0]), int(r[1]), round(float(r[2]), 3), int(r[3])]
+        )
+        for r in sorted(results, key=lambda r: r[2])
     ]
     path.parent.mkdir(parents=True, exist_ok=True)
     # Unique temp name: two concurrent sweeps (different grids, one host)
@@ -106,6 +120,65 @@ def record(
         fp.write(json.dumps(cache, indent=1, sort_keys=True) + "\n")
     pathlib.Path(tmp_name).replace(path)
     return path
+
+
+def autotune_on_miss_enabled() -> bool:
+    """Opt-in switch (``LBM_AUTOTUNE_ON_MISS=1``) for measuring a slab
+    shape's (BY, K) on first compile instead of trusting the heuristics.
+    Off by default: a sweep costs minutes of remote compiles."""
+    return os.environ.get("LBM_AUTOTUNE_ON_MISS", "").lower() in (
+        "1",
+        "true",
+        "yes",
+    )
+
+
+def maybe_autotune_slab(
+    ny: int,
+    nx: int,
+    device_kind: str,
+    steps: int = 240,
+    repeats: int = 2,
+    log=None,
+) -> bool:
+    """When ``LBM_AUTOTUNE_ON_MISS=1`` and the cache has no entry for this
+    device/shape, run a short measured sweep on a proxy grid of that shape
+    and record the winners (so the ``choose_temporal``/``choose_schedule``
+    lookup that follows hits the fresh entry).  Returns True when a sweep
+    ran and recorded at least one result.
+
+    The sharded temporal factories call this with the LOCAL slab shape
+    (``ny_loc x nx`` / ``nyl x w``) — the per-shard kernel is the
+    single-chip temporal kernel on the slab, so a single-chip sweep of the
+    slab shape measures exactly the per-shard schedule (the reference's
+    per-grid hand-tuning, ``d2q9-bgk.c:634-637``, automated).  Proxy
+    geometry: an empty channel box — obstacle placement doesn't change
+    kernel timing (same masked algebra either way).
+
+    Recording uses :func:`default_device_kind` (the device the sweep ran
+    on); callers pass the mesh's kind only to CHECK the cache, and a
+    mismatch (sweeping for a remote mesh from a host with a different
+    default device) simply records under the measuring device — correct,
+    since measurements only apply to the device kind that produced them.
+    """
+    if not autotune_on_miss_enabled():
+        return False
+    if device_kind and lookup(device_kind, ny, nx):
+        return False  # already measured
+    from lbm_tpu.config import LBMParams
+    from lbm_tpu.geometry import channel_box
+
+    if log is None:
+        log = _print_flush
+    log(
+        f"LBM_AUTOTUNE_ON_MISS: no measured (BY, K) for "
+        f"{device_kind or 'device'}|{ny}x{nx} — sweeping (steps={steps})"
+    )
+    params = LBMParams(nx, ny, steps, 10, 0.1, 0.005, 1.85)
+    results = autotune_sweep(
+        params, channel_box(nx, ny), steps=steps, repeats=repeats, log=log
+    )
+    return bool(results)
 
 
 def default_device_kind() -> str:
@@ -153,6 +226,39 @@ def temporal_candidates(
     return out
 
 
+def xtiled_candidates(
+    ny: int, nx: int, steps: int, skipped: list | None = None
+) -> list[tuple[int, int, int]]:
+    """(BY, K, Px) sweep candidates for the x-tiled temporal schedule
+    (``build_temporal_xtiled_program``): Px >= 2 column strips of
+    lane-aligned width BX = nx/Px >= 1024 (narrower strips drown in the
+    fixed 128-lane pad), windows sized against W = BX + 128.  Same
+    structural and VMEM rules as :func:`temporal_candidates` otherwise;
+    VMEM-pruned candidates go to ``skipped`` as (BY, K, Px)."""
+    from lbm_tpu.ops.fused import _XT_PAD, _xtiled_structurally_valid
+
+    out = []
+    px = 2
+    while nx // px >= 1024:
+        bx = nx // px
+        w = bx + _XT_PAD
+        if nx % px == 0 and bx % 128 == 0:
+            by = 8
+            while by * 2 <= ny:
+                if ny % by == 0:
+                    for k in (2, 4, 8, 16):
+                        if _xtiled_structurally_valid(
+                            ny, nx, by, k, px, steps
+                        ):
+                            if (by + 2 * k) * w <= _WINDOW_CELL_CAP:
+                                out.append((by, k, px))
+                            elif skipped is not None:
+                                skipped.append((by, k, px))
+                by *= 2
+        px *= 2
+    return out
+
+
 # Progress lines must land immediately even when stdout is piped (each
 # candidate can cost a ~40 s remote compile on real hardware).
 _print_flush = functools.partial(print, flush=True)
@@ -166,11 +272,13 @@ def time_temporal_candidate(
     steps: int,
     repeats: int,
     log=_print_flush,
+    px: int = 1,
 ) -> float | None:
-    """Best-of-``repeats`` µs/step for one (BY, K) on the actual device, or
-    None on failure (VMEM overflow, compile-service error, invalid split —
-    a sweep logs and moves on).  Timing: long donated-carry scans synced
-    with ``device_get`` (docs/PERF.md methodology — ``block_until_ready``
+    """Best-of-``repeats`` µs/step for one (BY, K) — or, with ``px`` > 1,
+    one x-tiled (BY, K, Px) — on the actual device, or None on failure
+    (VMEM overflow, compile-service error, invalid split — a sweep logs
+    and moves on).  Timing: long donated-carry scans synced with
+    ``device_get`` (docs/PERF.md methodology — ``block_until_ready``
     under-reports through the tunnel)."""
     import functools
     import time
@@ -178,14 +286,22 @@ def time_temporal_candidate(
     import jax
 
     from lbm_tpu.geometry import free_cells_of
-    from lbm_tpu.ops.fused import build_temporal_program
+    from lbm_tpu.ops.fused import (
+        build_temporal_program,
+        build_temporal_xtiled_program,
+    )
     from lbm_tpu.ops.reference import init_cells
 
     import numpy as np
 
     fcinv = np.float32(1.0 / free_cells_of(obstacles))
     try:
-        prog = build_temporal_program(params, obstacles, fcinv, by, k)
+        if px > 1:
+            prog = build_temporal_xtiled_program(
+                params, obstacles, fcinv, by, k, px
+            )
+        else:
+            prog = build_temporal_program(params, obstacles, fcinv, by, k)
     except ValueError:
         return None
 
@@ -218,36 +334,44 @@ def autotune_sweep(
     repeats: int = 3,
     record_results: bool = True,
     log=_print_flush,
-) -> list[tuple[int, int, float]]:
-    """Measure every temporal (BY, K) candidate for this grid on the
-    actual device and (optionally) record the ranked results in the cache.
-    Returns measured ``(by, k, us_per_step)`` sorted fastest first ([]
-    when nothing compiled/ran)."""
+) -> list[tuple[int, int, float, int]]:
+    """Measure every temporal candidate — row-blocked (BY, K) and x-tiled
+    (BY, K, Px) — for this grid on the actual device and (optionally)
+    record the ranked results in the cache.  Returns measured
+    ``(by, k, us_per_step, px)`` sorted fastest first ([] when nothing
+    compiled/ran)."""
     ny, nx = params.ny, params.nx
     kind = default_device_kind()
-    pruned: list[tuple[int, int]] = []
-    cands = temporal_candidates(ny, nx, steps, skipped=pruned)
+    pruned: list[tuple] = []
+    cands = [(by, k, 1) for by, k in temporal_candidates(ny, nx, steps, skipped=pruned)]
+    pruned_xt: list[tuple[int, int, int]] = []
+    cands += xtiled_candidates(ny, nx, steps, skipped=pruned_xt)
+    pruned += pruned_xt
     if pruned:
         # No-silent-caps rule: the VMEM window cap is v5e-measured and may
         # be conservative on larger-VMEM devices.
         log(
             f"skipping {len(pruned)} candidate(s) beyond the measured "
             f"v5e VMEM window cap ({_WINDOW_CELL_CAP} cells): "
-            + ", ".join(f"(BY={b}, K={k})" for b, k in pruned)
+            + ", ".join(
+                f"(BY={c[0]}, K={c[1]}" + (f", Px={c[2]})" if len(c) > 2 else ")")
+                for c in pruned
+            )
         )
     if not cands:
         log(f"no temporal candidates for {ny}x{nx}")
         return []
     log(f"device kind: {kind}; grid {ny}x{nx}; {len(cands)} candidates")
     results = []
-    for by, k in cands:
+    for by, k, px in cands:
         us = time_temporal_candidate(
-            params, obstacles, by, k, steps, repeats, log=log
+            params, obstacles, by, k, steps, repeats, log=log, px=px
         )
         status = f"{us:8.2f} us/step" if us is not None else "   failed/skipped"
-        log(f"  (BY={by:4d}, K={k:2d}): {status}")
+        tag = f", Px={px}" if px > 1 else ""
+        log(f"  (BY={by:4d}, K={k:2d}{tag}): {status}")
         if us is not None:
-            results.append((by, k, us))
+            results.append((by, k, us, px))
     results.sort(key=lambda r: r[2])
     if results and record_results:
         path = record(kind, ny, nx, results)

@@ -167,6 +167,107 @@ def test_temporal_blocking_k4():
     )
 
 
+def test_temporal_xtiled():
+    """Single-chip x-tiled temporal schedule (column strips + row blocks,
+    K steps per pass) vs the jnp path: interior wall crossing row-block
+    boundaries, kick row in the gated windows, several passes so the
+    jnp x-halo patch executes repeatedly."""
+    from lbm_tpu.ops.fused import build_temporal_xtiled_program
+
+    params = LBMParams(64, 16, 8, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(64, 16, interior_row=9)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    program = build_temporal_xtiled_program(
+        params, obstacles, fcinv, by=4, ksteps=2, px=4, interpret=True
+    )
+    assert program.chunk == 2
+    step = jax.jit(program.step)
+
+    f_ref = init_cells(params)
+    carry = program.init(f_ref)
+    avs_fus = []
+    for _ in range(4):
+        carry, avs = step(carry)
+        avs_fus.append(np.asarray(avs))
+    avs_ref = []
+    for _ in range(8):
+        f_ref, av = ref(f_ref)
+        avs_ref.append(float(av))
+    np.testing.assert_allclose(
+        np.asarray(f_ref),
+        np.asarray(program.final(carry)),
+        rtol=1e-5,
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.concatenate(avs_fus), np.asarray(avs_ref), rtol=1e-5
+    )
+
+
+def test_temporal_xtiled_k4_random_geometry():
+    """Deeper K with randomized obstacles spanning strip boundaries; the
+    consts path (maskext as runtime argument) is exercised too."""
+    from lbm_tpu.ops.fused import build_temporal_xtiled_program
+
+    rng = np.random.default_rng(7)
+    params = LBMParams(96, 24, 8, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(96, 24)
+    interior = rng.random((24, 96)) < 0.1
+    interior[0, :] = interior[-1, :] = False
+    interior[22, :] = False  # keep the kick row itself clear
+    obstacles = obstacles | interior
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    program = build_temporal_xtiled_program(
+        params, obstacles, fcinv, by=6, ksteps=4, px=2, interpret=True
+    )
+    assert len(program.consts) == 1
+    step = jax.jit(program.step)
+    f_ref = init_cells(params)
+    carry = program.init(f_ref, jnp.asarray(program.consts[0]))
+    for _ in range(2):
+        carry, _ = step(carry)
+    for _ in range(8):
+        f_ref, _ = ref(f_ref)
+    np.testing.assert_allclose(
+        np.asarray(f_ref),
+        np.asarray(program.final(carry)),
+        rtol=1e-5,
+        atol=1e-9,
+    )
+
+
+def test_temporal_xtiled_validation():
+    from lbm_tpu.ops.fused import build_temporal_xtiled_program
+
+    params = LBMParams(64, 16, 8, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(64, 16)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    with pytest.raises(ValueError, match="px"):
+        build_temporal_xtiled_program(
+            params, obstacles, fcinv, by=4, ksteps=2, px=3, interpret=True
+        )
+    with pytest.raises(ValueError, match="px >= 2"):
+        build_temporal_xtiled_program(
+            params, obstacles, fcinv, by=4, ksteps=2, px=1, interpret=True
+        )
+    with pytest.raises(ValueError, match="lane-aligned"):
+        build_temporal_xtiled_program(
+            params, obstacles, fcinv, by=4, ksteps=2, px=2
+        )
+
+
+def test_choose_temporal_xtiled():
+    from lbm_tpu.ops.fused import choose_temporal_xtiled
+
+    # 8192^2: strips restore (BY=128, K=4) vs row-only (32, 4)
+    assert choose_temporal_xtiled(8192, 8192, 20000) == (128, 4, 4)
+    # narrower grids keep the plain row-blocked schedule
+    assert choose_temporal_xtiled(4096, 4096, 2000) is None
+    assert choose_temporal_xtiled(1024, 1024, 20000) is None
+
+
 def test_megakernel():
     """Manual-DMA megakernel (T K-passes per pallas_call, interpret mode):
     must reproduce the jnp reference step across call boundaries, incl.

@@ -21,13 +21,25 @@ def cache_file(tmp_path, monkeypatch):
 
 def test_record_and_lookup_roundtrip(cache_file):
     tuning.record("FakeTPU v9", 64, 128, [(16, 4, 51.0), (32, 8, 47.0)])
-    # Sorted fastest-first on read-back.
-    assert tuning.lookup("FakeTPU v9", 64, 128) == [(32, 8), (16, 4)]
+    # Sorted fastest-first on read-back; px defaults to 1.
+    assert tuning.lookup("FakeTPU v9", 64, 128) == [(32, 8, 1), (16, 4, 1)]
     # Other keys untouched, unknown keys empty.
     assert tuning.lookup("FakeTPU v9", 64, 256) == []
     tuning.record("FakeTPU v9", 64, 256, [(8, 2, 10.0)])
-    assert tuning.lookup("FakeTPU v9", 64, 128) == [(32, 8), (16, 4)]
-    assert tuning.lookup("FakeTPU v9", 64, 256) == [(8, 2)]
+    assert tuning.lookup("FakeTPU v9", 64, 128) == [(32, 8, 1), (16, 4, 1)]
+    assert tuning.lookup("FakeTPU v9", 64, 256) == [(8, 2, 1)]
+
+
+def test_record_and_lookup_xtiled_entries(cache_file):
+    """4-element (by, k, us, px) results round-trip; px = 1 results keep
+    the legacy 3-element on-disk form (older readers stay compatible)."""
+    tuning.record("FakeTPU v9", 8192, 8192, [(32, 4, 60.0), (128, 4, 45.0, 4)])
+    assert tuning.lookup("FakeTPU v9", 8192, 8192) == [
+        (128, 4, 4),
+        (32, 4, 1),
+    ]
+    raw = json.loads(cache_file.read_text())["FakeTPU v9|8192x8192"]
+    assert raw == [[128, 4, 45.0, 4], [32, 4, 60.0]]
 
 
 def test_corrupt_or_missing_cache_is_empty(cache_file):
@@ -44,7 +56,7 @@ def test_corrupt_or_missing_cache_is_empty(cache_file):
             {"k|4x4": [[8], [None, 2, 1.0], ["x", 2], [16, 4, 1.0], "zz"]}
         )
     )
-    assert tuning.lookup("k", 4, 4) == [(16, 4)]
+    assert tuning.lookup("k", 4, 4) == [(16, 4, 1)]
     cache_file.write_text(json.dumps({"k|4x4": {"by": 16}}))  # wrong type
     assert tuning.lookup("k", 4, 4) == []
 
@@ -94,6 +106,45 @@ def test_choose_temporal_skips_invalid_cached_entries(cache_file):
         os.environ["LBM_TUNING_CACHE"] = str(cache_file)
 
 
+def test_choose_schedule_cache_beats_xtiled_heuristic(cache_file):
+    """choose_schedule takes the fastest structurally-valid cache entry
+    regardless of schedule: a measured px=1 winner overrides the width
+    heuristic that would pick x-tiling at nx=8192, and vice versa."""
+    from lbm_tpu.ops.fused import choose_schedule, choose_temporal_xtiled
+
+    kind = tuning.default_device_kind()
+    # Heuristic default at 8192²: the x-tiled schedule.
+    assert choose_temporal_xtiled(8192, 8192, 20000) == (128, 4, 4)
+    assert choose_schedule(8192, 8192, 20000) == (128, 4, 4)
+    # A measured row-blocked winner overrides it...
+    tuning.record(kind, 8192, 8192, [(32, 4, 40.0), (128, 4, 45.0, 4)])
+    assert choose_schedule(8192, 8192, 20000) == (32, 4, 1)
+    # ...and a measured x-tiled winner is picked with its px.
+    tuning.record(kind, 8192, 8192, [(128, 8, 38.0, 2), (32, 4, 40.0)])
+    assert choose_schedule(8192, 8192, 20000) == (128, 8, 2)
+    # Invalid x-tiled entries (K not dividing max_iters; px not dividing
+    # nx) fall through to the next entry.
+    tuning.record(kind, 8192, 8192, [(128, 8, 38.0, 3), (32, 4, 40.0)])
+    assert choose_schedule(8192, 8192, 20000) == (32, 4, 1)
+    tuning.record(kind, 8192, 8192, [(128, 16, 38.0, 2)])
+    assert choose_schedule(8192, 8192, 900) == (128, 4, 4)  # heuristic
+
+
+def test_xtiled_candidate_enumeration():
+    """x-tiled sweep candidates satisfy the kernel's structural rules and
+    the VMEM window cap against the padded strip width."""
+    from lbm_tpu.ops.fused import _XT_PAD, _xtiled_structurally_valid
+
+    cands = tuning.xtiled_candidates(8192, 8192, 960)
+    assert (128, 4, 4) in cands
+    for by, k, px in cands:
+        assert _xtiled_structurally_valid(8192, 8192, by, k, px, 960)
+        assert (by + 2 * k) * (8192 // px + _XT_PAD) <= tuning._WINDOW_CELL_CAP
+        assert 8192 // px >= 1024
+    # Narrow grids admit no strips (bx would drop below 1024).
+    assert tuning.xtiled_candidates(1024, 1024, 960) == []
+
+
 def test_autotune_candidate_enumeration():
     """Candidates must all satisfy the temporal kernel's structural
     constraints (BY >= 8 power-of-two divisor with >= 2 blocks, K <= BY-2,
@@ -126,7 +177,7 @@ def test_cli_autotune_dry_run(cache_file, monkeypatch, capsys):
     does not write the cache; without --dry-run it records the results."""
     from lbm_tpu import cli
 
-    def fake_time(params, obstacles, by, k, steps, repeats, log=print):
+    def fake_time(params, obstacles, by, k, steps, repeats, log=print, px=1):
         return 100.0 - by / 8 - k  # bigger (BY, K) measures faster
     monkeypatch.setattr(tuning, "time_temporal_candidate", fake_time)
 
@@ -140,7 +191,41 @@ def test_cli_autotune_dry_run(cache_file, monkeypatch, capsys):
     rc = cli.main(["autotune", "--grid", "64x128"])
     assert rc == 0
     capsys.readouterr()
-    assert tuning.lookup(tuning.default_device_kind(), 64, 128)[0] == (32, 16)
+    assert tuning.lookup(tuning.default_device_kind(), 64, 128)[0] == (
+        32, 16, 1,
+    )
+
+
+def test_maybe_autotune_slab_opt_in(cache_file, monkeypatch, capsys):
+    """Autotune-on-first-compile (VERDICT r2 item 8): off by default; with
+    LBM_AUTOTUNE_ON_MISS=1 a cache miss for a slab shape triggers a sweep
+    whose winners land in the cache (the 512x4096 1-D slab of 4096² over 8
+    shards), and an existing entry suppresses re-sweeping."""
+    calls = []
+
+    def fake_time(params, obstacles, by, k, steps, repeats, log=print, px=1):
+        calls.append((by, k, px))
+        return 100.0 - by / 8 - k
+    monkeypatch.setattr(tuning, "time_temporal_candidate", fake_time)
+
+    kind = tuning.default_device_kind()
+    # Default: disabled — no sweep, no cache write.
+    assert not tuning.maybe_autotune_slab(512, 4096, kind)
+    assert calls == [] and not cache_file.exists()
+
+    monkeypatch.setenv("LBM_AUTOTUNE_ON_MISS", "1")
+    assert tuning.maybe_autotune_slab(512, 4096, kind)
+    assert calls  # swept
+    entry = tuning.lookup(kind, 512, 4096)
+    # Fake ranks biggest (BY + K) fastest; the winner is an x-tiled
+    # candidate (narrow strips admit the largest window) — proving the
+    # on-miss sweep covers both schedules.
+    assert entry and entry[0] == (256, 16, 4)
+    assert any(px == 1 for _, _, px in entry)  # row-blocked swept too
+    # Second call: the fresh entry suppresses the sweep.
+    calls.clear()
+    assert not tuning.maybe_autotune_slab(512, 4096, kind)
+    assert calls == []
 
 
 def test_cached_pick_still_runs_correctly(cache_file):
