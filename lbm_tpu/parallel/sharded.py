@@ -1283,12 +1283,13 @@ class ShardedSimulator:
         readback: str = "state",
         f0: np.ndarray | None = None,
     ) -> ShardedRunResult:
-        """``readback="fields"`` computes the compact ``[u_x, u_y, rho]``
-        payload on the mesh (elementwise over the existing sharding — no
-        resharding) and fetches those 3 planes instead of the 9 f-planes
-        (192 MB instead of 576 MB at 4096² over the host link); |u| and
-        pressure are derived on host in fp64 (see
-        ``runtime.raw_fields_fn`` / ``expand_fields``)."""
+        """``readback="fields"`` computes the compact
+        ``[u_x, u_y, rho - density]`` float16 payload on the mesh
+        (elementwise over the existing sharding — no resharding) and
+        fetches those 3 half-precision planes instead of the 9 fp32
+        f-planes (96 MB instead of 576 MB at 4096² over the host link);
+        |u| and pressure are reconstructed on host in fp64 (encoding +
+        error bounds: ``runtime.raw_fields_fn`` / ``expand_fields``)."""
         from lbm_tpu.runtime import check_readback, expand_fields, raw_fields_fn
 
         check_readback(readback)
@@ -1305,7 +1306,8 @@ class ShardedSimulator:
                 # AOT-compile the field derivation outside the timed
                 # region, like the step program itself; cached (the grid
                 # and mesh are fixed per simulator).  The device emits the
-                # compact [u_x, u_y, rho] payload; |u|/pressure are host
+                # compact float16 [u_x, u_y, rho - density] payload;
+                # |u|/pressure are host
                 # derived (see runtime.raw_fields_fn — 3 planes instead of
                 # 4 over the slow device->host link).
                 spec = jax.ShapeDtypeStruct(

@@ -206,7 +206,8 @@ def test_sharded_fields_readback(eight_devices):
     fields = sim.run(readback="fields")
     assert fields.f is None and fields.fields.shape == (4, PARAMS.ny, PARAMS.nx)
     np.testing.assert_array_equal(state.av_vels, fields.av_vels)
-    assert abs(state.reynolds - fields.reynolds) / abs(state.reynolds) < 1e-4
+    # |u| rides the float16 payload; quantization averages out in the mean
+    assert abs(state.reynolds - fields.reynolds) / abs(state.reynolds) < 2e-4
 
 
 def test_bench_sharded_smoke(eight_devices, capsys):
