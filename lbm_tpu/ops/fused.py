@@ -946,16 +946,27 @@ def _step_kernel_temporal_xt(
     c_ref,  # [1, 9, BY, W]        center rows of one (strip, block)
     gs_ref,  # [1, 1, K, 9, W]     rows [R0-K, R0) at time t
     gn_ref,  # [1, 1, K, 9, W]     rows [R0+BY, R0+BY+K)
+    xe_ref,  # [1, 9, BY, 128]     WEST neighbor's last 128 owned lanes
+    xw_ref,  # [1, 9, BY, 128]     EAST neighbor's first 128 owned lanes
+    gse_ref,  # [1, 1, K, 9, 128]  east neighbor's gs slab, first lane-block
+    gsw_ref,  # [1, 1, K, 9, 128]  west neighbor's gs slab, last owned block
+    gne_ref,  # [1, 1, K, 9, 128]  east neighbor's gn slab, first lane-block
+    gnw_ref,  # [1, 1, K, 9, 128]  west neighbor's gn slab, last owned block
     maskext_ref,  # [1, BY+2K, W]  window fluid mask (halo lanes carry the
     #                               x-neighbor's mask, dead pad is 0)
     out_ref,  # [1, 9, BY, W]
     gs_out,  # [1, 1, K, 9, W]     ghosts for block (i+1) % P of this strip
     gn_out,  # [1, 1, K, 9, W]     ghosts for block (i-1) % P
+    xe_out,  # [1, 9, BY, 128]     this block's last 128 owned lanes ->
+    #                               XE slot of the EAST neighbor strip
+    xw_out,  # [1, 9, BY, 128]     first 128 owned lanes -> west neighbor
     avs_ref,  # [K, 1] SMEM        per-internal-step av partials
     *,
     by: int,
     ksteps: int,
+    bx: int,
     w: int,
+    edge: int,
     omega: float,
     aw1: float,
     aw2: float,
@@ -970,6 +981,18 @@ def _step_kernel_temporal_xt(
     Both kick sites are active in every strip: each strip owns its lanes
     of global row ny-2, and the halo lanes kick under the NEIGHBOR's mask,
     tracking the owner's evolution exactly (as in the sharded 2-D path).
+
+    x halos are KERNEL-ROUNDTRIP state, exactly like the y ghosts: the
+    halo lane bands of the assembled window are overwritten from the
+    carried edge-strip inputs (xe/xw for the BY center rows; the
+    neighbors' y-ghost slabs' edge lane-blocks for the ±K row
+    extensions), and each block emits its own 128-lane edge columns
+    routed to the neighbor strips' xe/xw slots for the next pass.  The
+    first x-tiled design refreshed the bands with a jnp patch between
+    passes — XLA could not update the Pallas-aliased carry in place, so
+    every pass copied the full strip-major f (measured: +1.56 GB temp at
+    8192², ~640 MB/step of copy traffic, 13.9 -> 11.2 GLUPS regression
+    vs row blocking; docs/PERF.md round-3).
     """
     f32 = jnp.float32
     i = pl.program_id(1)  # row block within the strip
@@ -977,13 +1000,36 @@ def _step_kernel_temporal_xt(
     first_program = (pl.program_id(0) == 0) & (i == 0)
     fluid = maskext_ref[0, :, :] > f32(0.5)
 
-    planes = [
-        jnp.concatenate(
+    planes = []
+    for k in range(NSPEEDS):
+        plane = jnp.concatenate(
             [gs_ref[0, 0, :, k, :], c_ref[0, k, :, :], gn_ref[0, 0, :, k, :]],
             axis=0,
         )
-        for k in range(NSPEEDS)
-    ]
+        # Refresh the halo lane bands at the current time: east band
+        # [bx, bx+K) from the east neighbor's west edge, west band
+        # [w-K, w) from the west neighbor's east edge.  The stale bands
+        # carried in c/gs/gn (invalidated by last pass's trapezoidal
+        # shrink) are never read.
+        east = jnp.concatenate(
+            [
+                gse_ref[0, 0, :, k, :ksteps],
+                xw_ref[0, k, :, :ksteps],
+                gne_ref[0, 0, :, k, :ksteps],
+            ],
+            axis=0,
+        )
+        west = jnp.concatenate(
+            [
+                gsw_ref[0, 0, :, k, edge - ksteps :],
+                xe_ref[0, k, :, edge - ksteps :],
+                gnw_ref[0, 0, :, k, edge - ksteps :],
+            ],
+            axis=0,
+        )
+        plane = jax.lax.dynamic_update_slice(plane, east, (0, bx))
+        plane = jax.lax.dynamic_update_slice(plane, west, (0, w - ksteps))
+        planes.append(plane)
     final, parts = _window_advance(
         planes,
         fluid,
@@ -1011,6 +1057,8 @@ def _step_kernel_temporal_xt(
         out_ref[0, k, :, :] = final[k][ksteps : ksteps + by, :]
         gn_out[0, 0, :, k, :] = final[k][ksteps : 2 * ksteps, :]
         gs_out[0, 0, :, k, :] = final[k][by : by + ksteps, :]
+        xe_out[0, k, :, :] = final[k][ksteps : ksteps + by, bx - edge : bx]
+        xw_out[0, k, :, :] = final[k][ksteps : ksteps + by, :edge]
 
 
 # Lane padding of each x strip; keeps W lane-aligned while hosting the two
@@ -1051,12 +1099,16 @@ def build_temporal_xtiled_program(
       output routing — unchanged from the 1-D temporal kernel; no
       cross-device patch exists on one chip, so the slabs never touch
       jnp between passes.
-    * every K steps a jnp patch refreshes the x-halo lanes of f and of
-      every ghost slab from the neighbor strips' edge columns (with
-      ±K-row extensions taken from the slabs, which carries the corner
-      cells) — O(ny·K) cells per strip vs the kernel's O(ny·BX): ~0.2%
-      of the pass traffic, and XLA lowers the static-offset updates as
-      in-place dynamic-update-slices on the donated scan carry.
+    * x halos are kernel-roundtrip state too: each block OUTPUTS its
+      128-lane edge columns routed to the neighbor strips' slots of two
+      carried edge arrays (``XE``/``XW``, [Px, 9, ny, 128]), and the
+      kernel refreshes the halo lane bands of its assembled window from
+      those inputs (±K corner rows from the neighbor ghost slabs' edge
+      lane-blocks — separate non-aliased buffers, so the in-place f
+      update cannot race them).  The v1 design used a jnp patch between
+      passes instead; XLA could not update the Pallas-aliased carry in
+      place and copied the full strip-major f every pass (+1.56 GB temp
+      at 8192², measured 13.9 -> 11.2 GLUPS vs row blocking).
     * the in-kernel av reduction is bounded to the owned lanes
       (``av_lanes = BX``); halo lanes collide under the neighbor's mask
       but are never counted.
@@ -1118,15 +1170,14 @@ def build_temporal_xtiled_program(
         np.arange(i * by + by, i * by + by + ksteps) % ny
         for i in range(p_loc)
     ]
-    # Ghost-slab rows as indices into the [-K, ny+K) edge-strip rows
-    # (strip row = grid row + K): slot i south = rows i*BY-K..i*BY-1,
-    # north = (i+1)*BY..(i+1)*BY+K-1.
-    strip_rows_s = np.stack(
-        [i * by + np.arange(ksteps) for i in range(p_loc)]
-    )  # [p_loc, K]
-    strip_rows_n = np.stack(
-        [(i + 1) * by + ksteps + np.arange(ksteps) for i in range(p_loc)]
-    )
+    # Edge-column block width: 128 lanes on hardware (the Mosaic lane-dim
+    # tiling minimum — K alone would be below it); interpret-mode test
+    # miniatures with BX < 128 use the whole strip.
+    edge = _XT_PAD if bx >= _XT_PAD else bx
+    if bx % edge != 0:
+        raise ValueError(
+            f"BX={bx} must be a multiple of the edge block width {edge}"
+        )
 
     center_spec = pl.BlockSpec(
         (1, NSPEEDS, by, w), lambda s, i: (s, 0, i, 0),
@@ -1150,27 +1201,83 @@ def build_temporal_xtiled_program(
         (1, byext, w), lambda s, i: (s * p_loc + i, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    # Carried x-edge arrays: XE[s] = WEST neighbor's last `edge` owned
+    # lanes, XW[s] = EAST neighbor's first `edge` lanes (all ny rows).
+    xedge_in_spec = pl.BlockSpec(
+        (1, NSPEEDS, by, edge), lambda s, i: (s, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    xe_out_spec = pl.BlockSpec(
+        (1, NSPEEDS, by, edge),
+        lambda s, i: ((s + 1) % px, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    xw_out_spec = pl.BlockSpec(
+        (1, NSPEEDS, by, edge),
+        lambda s, i: ((s - 1) % px, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # Neighbor ghost-slab edge lane-blocks for the ±K corner rows of the
+    # halo bands (gs/gn are non-aliased carries, so cross-strip reads are
+    # race-free under the in-place f update).
+    last_lane_block = bx // edge - 1
+    gse_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, edge),
+        lambda s, i: ((s + 1) % px, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gsw_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, edge),
+        lambda s, i: ((s - 1) % px, i, 0, 0, last_lane_block),
+        memory_space=pltpu.VMEM,
+    )
+    gne_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, edge),
+        lambda s, i: ((s + 1) % px, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gnw_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, edge),
+        lambda s, i: ((s - 1) % px, i, 0, 0, last_lane_block),
+        memory_space=pltpu.VMEM,
+    )
     fs_shape = jax.ShapeDtypeStruct((px, NSPEEDS, ny, w), jnp.float32)
     ghost_shape = jax.ShapeDtypeStruct(
         (px, p_loc, ksteps, NSPEEDS, w), jnp.float32
     )
+    xedge_shape = jax.ShapeDtypeStruct((px, NSPEEDS, ny, edge), jnp.float32)
     call = pl.pallas_call(
         functools.partial(
             _step_kernel_temporal_xt,
             by=by,
             ksteps=ksteps,
+            bx=bx,
             w=w,
+            edge=edge,
             omega=float(np.float32(params.omega)),
             aw1=float(aw1),
             aw2=float(aw2),
             av_lanes=bx,
         ),
         grid=(px, p_loc),
-        in_specs=[center_spec, ghost_in_spec, ghost_in_spec, maskext_spec],
+        in_specs=[
+            center_spec,
+            ghost_in_spec,
+            ghost_in_spec,
+            xedge_in_spec,
+            xedge_in_spec,
+            gse_spec,
+            gsw_spec,
+            gne_spec,
+            gnw_spec,
+            maskext_spec,
+        ],
         out_specs=[
             center_spec,
             gs_out_spec,
             gn_out_spec,
+            xe_out_spec,
+            xw_out_spec,
             pl.BlockSpec(
                 (ksteps, 1), lambda s, i: (0, 0), memory_space=pltpu.SMEM
             ),
@@ -1179,6 +1286,8 @@ def build_temporal_xtiled_program(
             fs_shape,
             ghost_shape,
             ghost_shape,
+            xedge_shape,
+            xedge_shape,
             jax.ShapeDtypeStruct((ksteps, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -1192,44 +1301,6 @@ def build_temporal_xtiled_program(
         input_output_aliases={0: 0},
         interpret=interpret,
     )
-
-    def patch_x(fs, gs, gn):
-        """Refresh the x-halo lane bands of f and of every ghost slab from
-        the neighbor strips' edge columns (±K-row extensions from the
-        slabs carry the corners)."""
-
-        def strip(lo):  # [Px, 9, ny+2K, K]
-            return jnp.concatenate(
-                [
-                    jnp.transpose(gs[:, 0, :, :, lo : lo + ksteps], (0, 2, 1, 3)),
-                    fs[:, :, :, lo : lo + ksteps],
-                    jnp.transpose(
-                        gn[:, p_loc - 1, :, :, lo : lo + ksteps], (0, 2, 1, 3)
-                    ),
-                ],
-                axis=2,
-            )
-
-        send_e, send_w = strip(bx - ksteps), strip(0)
-        recv_w = jnp.roll(send_e, 1, axis=0)  # strip s <- strip s-1's east edge
-        recv_e = jnp.roll(send_w, -1, axis=0)  # strip s <- strip s+1's west edge
-        fs = fs.at[:, :, :, w - ksteps :].set(recv_w[:, :, ksteps : ksteps + ny])
-        fs = fs.at[:, :, :, bx : bx + ksteps].set(
-            recv_e[:, :, ksteps : ksteps + ny]
-        )
-
-        def slab_rows(recv, rows):  # [Px, p_loc, K, 9, K]
-            return jnp.transpose(recv[:, :, rows, :], (0, 2, 3, 1, 4))
-
-        gs = gs.at[:, :, :, :, w - ksteps :].set(slab_rows(recv_w, strip_rows_s))
-        gs = gs.at[:, :, :, :, bx : bx + ksteps].set(
-            slab_rows(recv_e, strip_rows_s)
-        )
-        gn = gn.at[:, :, :, :, w - ksteps :].set(slab_rows(recv_w, strip_rows_n))
-        gn = gn.at[:, :, :, :, bx : bx + ksteps].set(
-            slab_rows(recv_e, strip_rows_n)
-        )
-        return fs, gs, gn
 
     def init(f, maskext=None):
         if maskext is None:
@@ -1252,13 +1323,16 @@ def build_temporal_xtiled_program(
             ],
             axis=1,
         )
-        return (fs, gs, gn, maskext)
+        xe = jnp.roll(fs[:, :, :, bx - edge : bx], 1, axis=0)
+        xw = jnp.roll(fs[:, :, :, :edge], -1, axis=0)
+        return (fs, gs, gn, xe, xw, maskext)
 
     def step(carry):
-        fs, gs, gn, maskext = carry
-        fs, gs, gn = patch_x(fs, gs, gn)
-        fs2, gs2, gn2, avs = call(fs, gs, gn, maskext)
-        return (fs2, gs2, gn2, maskext), avs[:, 0] * fcinv
+        fs, gs, gn, xe, xw, maskext = carry
+        fs2, gs2, gn2, xe2, xw2, avs = call(
+            fs, gs, gn, xe, xw, gs, gs, gn, gn, maskext
+        )
+        return (fs2, gs2, gn2, xe2, xw2, maskext), avs[:, 0] * fcinv
 
     def final(carry):
         fs = carry[0]
