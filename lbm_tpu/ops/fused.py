@@ -734,7 +734,11 @@ def _step_kernel_temporal(
     f32 = jnp.float32
     i = pl.program_id(0)
     last = pl.num_programs(0) - 1
-    fluid = maskext_ref[0, :, :] > f32(0.5)
+    # Mask arrives as int8 (4x less HBM traffic than f32 — the mask is
+    # ~6% of a pass's bytes at production configs) or f32 (older callers);
+    # widen BEFORE comparing — Mosaic can't relayout sub-byte compare
+    # results (same trap as the blocked kernel).
+    fluid = maskext_ref[0, :, :].astype(f32) > f32(0.5)
 
     planes = [
         jnp.concatenate(
@@ -803,7 +807,9 @@ def build_temporal_program(
         raise ValueError(f"need 2 <= K <= BY-2, got K={ksteps}, BY={by}")
     aw1, aw2 = accel_weights(params)
     fcinv = np.float32(free_cells_inv)
-    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+    # int8 mask: the kernel widens before comparing; 4x less HBM traffic
+    # for the ~1.1x-grid-sized static operand streamed every pass.
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.int8)
     # Per-program extended fluid mask (static): rows [R0-K, R0+BY+K) mod ny.
     maskext_host = np.stack(
         [
@@ -998,19 +1004,27 @@ def _step_kernel_temporal_xt(
     i = pl.program_id(1)  # row block within the strip
     last = pl.num_programs(1) - 1
     first_program = (pl.program_id(0) == 0) & (i == 0)
-    fluid = maskext_ref[0, :, :] > f32(0.5)
+    # int8 mask widened before comparing (Mosaic sub-byte relayout trap).
+    fluid = maskext_ref[0, :, :].astype(f32) > f32(0.5)
 
     planes = []
+    byext = by + 2 * ksteps
     for k in range(NSPEEDS):
-        plane = jnp.concatenate(
-            [gs_ref[0, 0, :, k, :], c_ref[0, k, :, :], gn_ref[0, 0, :, k, :]],
+        # Assemble the window by lane-concatenation in the carried layout
+        # [owned BX | east K | dead | west K]: the halo bands are rebuilt
+        # at the current time — east [bx, bx+K) from the east neighbor's
+        # west edge, west [w-K, w) from the west neighbor's east edge.
+        # The stale bands carried in c/gs/gn (invalidated by last pass's
+        # trapezoidal shrink) are never read.  (Mosaic has no in-kernel
+        # dynamic_update_slice; concatenation lowers.)
+        core = jnp.concatenate(
+            [
+                gs_ref[0, 0, :, k, :bx],
+                c_ref[0, k, :, :bx],
+                gn_ref[0, 0, :, k, :bx],
+            ],
             axis=0,
         )
-        # Refresh the halo lane bands at the current time: east band
-        # [bx, bx+K) from the east neighbor's west edge, west band
-        # [w-K, w) from the west neighbor's east edge.  The stale bands
-        # carried in c/gs/gn (invalidated by last pass's trapezoidal
-        # shrink) are never read.
         east = jnp.concatenate(
             [
                 gse_ref[0, 0, :, k, :ksteps],
@@ -1027,9 +1041,13 @@ def _step_kernel_temporal_xt(
             ],
             axis=0,
         )
-        plane = jax.lax.dynamic_update_slice(plane, east, (0, bx))
-        plane = jax.lax.dynamic_update_slice(plane, west, (0, w - ksteps))
-        planes.append(plane)
+        pieces = [core, east]
+        if w - bx - 2 * ksteps > 0:
+            pieces.append(
+                jnp.zeros((byext, w - bx - 2 * ksteps), jnp.float32)
+            )
+        pieces.append(west)
+        planes.append(jnp.concatenate(pieces, axis=1))
     final, parts = _window_advance(
         planes,
         fluid,
@@ -1146,7 +1164,8 @@ def build_temporal_xtiled_program(
     byext = by + 2 * ksteps
     aw1, aw2 = accel_weights(params)
     fcinv = np.float32(free_cells_inv)
-    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
+    # int8 mask, widened in-kernel before comparing (4x less HBM traffic).
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.int8)
 
     # Per-(strip, block) extended masks [Px * p_loc, byext, W]: owned
     # lanes [0, BX), neighbor columns in the halo bands, zeros in the
@@ -1154,7 +1173,7 @@ def build_temporal_xtiled_program(
     # sharded.py:make_sharded_temporal_2d_run).
     east_cols = lambda s: (np.arange(ksteps) + (s + 1) * bx) % nx
     west_cols = lambda s: (np.arange(ksteps) + s * bx - ksteps) % nx
-    maskext_host = np.zeros((px * p_loc, byext, w), np.float32)
+    maskext_host = np.zeros((px * p_loc, byext, w), np.int8)
     for s in range(px):
         for i in range(p_loc):
             rows = np.arange(i * by - ksteps, i * by + by + ksteps) % ny
