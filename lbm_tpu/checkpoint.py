@@ -125,13 +125,17 @@ def save_sharded(
     directory.mkdir(parents=True, exist_ok=True)
     step = int(step)
     # Dedupe replicated shards by their global offset (a fully-replicated
-    # dim yields the same slab on every device of that mesh axis).
+    # dim yields the same slab on every device of that mesh axis).  The
+    # membership check comes FIRST: np.asarray(s.data) is a device fetch,
+    # and evaluating it for a duplicate key would pull the replicated
+    # copy over the ~30 MB/s host link just to discard it.
     slabs: dict[tuple[int, int], np.ndarray] = {}
     for s in f.addressable_shards:
         idx = s.index  # (speeds, y, x) slices into the global array
         y0 = idx[1].start or 0 if len(idx) > 1 else 0
         x0 = idx[2].start or 0 if len(idx) > 2 else 0
-        slabs.setdefault((y0, x0), np.asarray(s.data, dtype=np.float32))
+        if (y0, x0) not in slabs:
+            slabs[(y0, x0)] = np.asarray(s.data, dtype=np.float32)
     entries = []
     for k, ((y0, x0), slab) in enumerate(sorted(slabs.items())):
         name = f"lbm_checkpoint.step{step}.shard{k:04d}.npz"
@@ -197,13 +201,25 @@ def _load_sharded(directory: pathlib.Path) -> Checkpoint | None:
             f"sharded checkpoint in {directory} does not tile the full "
             f"{params.ny}x{params.nx} grid (missing/corrupt shard files)"
         )
+    step = int(meta["step"])
     with np.load(directory / AV_FILENAME) as data:
         av = data["av_vels"]
+    # The av file is written BEFORE the meta commit point (it is not
+    # step-stamped like the shard files), so a crash between the two
+    # renames leaves a NEWER av alongside the older committed meta.
+    # Truncating to the meta step restores consistency; a SHORTER av can
+    # only mean a corrupt/foreign file — fail loudly.
+    if av.shape[0] < step:
+        raise ValueError(
+            f"sharded checkpoint av stream has {av.shape[0]} entries but "
+            f"meta commits step {step} ({directory / AV_FILENAME} is "
+            "corrupt or from another run)"
+        )
     return Checkpoint(
         params=params,
-        step=int(meta["step"]),
+        step=step,
         f=f,
-        av_vels=av,
+        av_vels=av[:step],
         mask_digest=meta["mask_digest"],
     )
 

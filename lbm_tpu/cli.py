@@ -267,10 +267,7 @@ def cmd_autotune(args: argparse.Namespace) -> int:
         params = CANONICAL_PARAMS[args.case]
         obstacles = canonical_obstacles(args.case)
     else:
-        try:
-            ny, nx = (int(v) for v in args.grid.lower().split("x"))
-        except ValueError:
-            raise SystemExit(f"--grid must be NYxNX, got {args.grid!r}")
+        ny, nx = _parse_pair(args.grid, "--grid")
         params = LBMParams(nx, ny, args.steps, 10, 0.1, 0.005, 1.85)
         obstacles = channel_box(nx, ny)
     params = dataclasses.replace(params, max_iters=args.steps)

@@ -1084,6 +1084,31 @@ def _step_kernel_temporal_xt(
 _XT_PAD = 128
 
 
+def fill_xt_mask_window(
+    m: np.ndarray,  # [byext, W] output window (zero-initialized)
+    fluid_rows: np.ndarray,  # [byext, nx] fluid mask of the window's rows
+    sx: int,
+    bx: int,
+    nx: int,
+    w: int,
+    ksteps: int,
+) -> None:
+    """Fill one x-padded extended-mask window: owned lanes [0, BX), the
+    east neighbor's first K columns at [BX, BX+K), the west neighbor's
+    last K at [W-K, W), dead pad untouched (zero).
+
+    ONE definition of the halo-band lane layout, shared by the
+    single-chip x-tiled factory and the sharded 2-D temporal factory
+    (``parallel/sharded.py::make_sharded_temporal_2d_run``) — the band
+    placement is load-bearing for both kernels' physics, so divergence
+    here would silently break one of them."""
+    east = (np.arange(ksteps) + (sx + 1) * bx) % nx
+    west = (np.arange(ksteps) + sx * bx - ksteps) % nx
+    m[:, :bx] = fluid_rows[:, sx * bx : (sx + 1) * bx]
+    m[:, bx : bx + ksteps] = fluid_rows[:, east]
+    m[:, w - ksteps :] = fluid_rows[:, west]
+
+
 def build_temporal_xtiled_program(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -1167,20 +1192,17 @@ def build_temporal_xtiled_program(
     # int8 mask, widened in-kernel before comparing (4x less HBM traffic).
     fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.int8)
 
-    # Per-(strip, block) extended masks [Px * p_loc, byext, W]: owned
-    # lanes [0, BX), neighbor columns in the halo bands, zeros in the
-    # dead pad (same construction as the sharded 2-D temporal factory,
-    # sharded.py:make_sharded_temporal_2d_run).
-    east_cols = lambda s: (np.arange(ksteps) + (s + 1) * bx) % nx
-    west_cols = lambda s: (np.arange(ksteps) + s * bx - ksteps) % nx
+    # Per-(strip, block) extended masks [Px * p_loc, byext, W]: band
+    # layout shared with the sharded 2-D temporal factory via
+    # fill_xt_mask_window.
     maskext_host = np.zeros((px * p_loc, byext, w), np.int8)
     for s in range(px):
         for i in range(p_loc):
             rows = np.arange(i * by - ksteps, i * by + by + ksteps) % ny
-            m = maskext_host[s * p_loc + i]
-            m[:, :bx] = fluid_host[rows][:, s * bx : (s + 1) * bx]
-            m[:, bx : bx + ksteps] = fluid_host[rows][:, east_cols(s)]
-            m[:, w - ksteps :] = fluid_host[rows][:, west_cols(s)]
+            fill_xt_mask_window(
+                maskext_host[s * p_loc + i], fluid_host[rows],
+                s, bx, nx, w, ksteps,
+            )
 
     south_rows = [
         np.arange(i * by - ksteps, i * by) % ny for i in range(p_loc)

@@ -714,10 +714,11 @@ def make_sharded_temporal_2d_run(
 
     # Per-(y-shard, x-shard, program) extended masks [byext, W]: owned
     # columns in lanes [0, nxl), neighbor columns in the two K-wide halo
-    # lane bands, zeros in the dead pad.  Sharded (AXIS, AXIS_X) on the
-    # leading dims.
-    east_cols = lambda sx: (np.arange(ksteps) + (sx + 1) * nxl) % nx
-    west_cols = lambda sx: (np.arange(ksteps) + sx * nxl - ksteps) % nx
+    # lane bands, zeros in the dead pad (band layout shared with the
+    # single-chip x-tiled factory via fused.fill_xt_mask_window).
+    # Sharded (AXIS, AXIS_X) on the leading dims.
+    from lbm_tpu.ops.fused import fill_xt_mask_window
+
     maskext_host = np.zeros((py * p_loc, px, byext, w), np.int8)
     for d in range(py):
         for i in range(p_loc):
@@ -726,10 +727,10 @@ def make_sharded_temporal_2d_run(
                           d * nyl + i * by + by + ksteps) % ny
             )
             for sx in range(px):
-                m = maskext_host[d * p_loc + i, sx]
-                m[:, :nxl] = fluid_host[rows][:, sx * nxl : (sx + 1) * nxl]
-                m[:, nxl : nxl + ksteps] = fluid_host[rows][:, east_cols(sx)]
-                m[:, w - ksteps :] = fluid_host[rows][:, west_cols(sx)]
+                fill_xt_mask_window(
+                    maskext_host[d * p_loc + i, sx], fluid_host[rows],
+                    sx, nxl, nx, w, ksteps,
+                )
 
     call = build_temporal_kernel(
         nyl,

@@ -373,7 +373,18 @@ class Simulator:
                     # e.g. a temporal/multi-step variant exceeding VMEM on
                     # this grid (JaxRuntimeError from the compile service)
                     # or a Mosaic lowering rejection (ValueError); retry
-                    # with a more conservative kernel.
+                    # with a more conservative kernel.  Loudly: a silent
+                    # degrade would hand the user a multi-x slower variant
+                    # with no indication which kernel actually ran.
+                    import warnings
+
+                    warnings.warn(
+                        f"kernel variant at fallback level {level} failed "
+                        f"to compile ({type(e).__name__}: "
+                        f"{str(e).splitlines()[0][:120]}); retrying with a "
+                        "more conservative schedule",
+                        stacklevel=2,
+                    )
                     last_err = e
             else:
                 raise last_err

@@ -175,8 +175,16 @@ def maybe_autotune_slab(
         f"{device_kind or 'device'}|{ny}x{nx} — sweeping (steps={steps})"
     )
     params = LBMParams(nx, ny, steps, 10, 0.1, 0.005, 1.85)
+    # Row-only: the sharded temporal factories that call this consume
+    # px = 1 entries exclusively — x-tiled measurements would burn ~40 s
+    # remote compiles each and then be filtered out by choose_temporal.
     results = autotune_sweep(
-        params, channel_box(nx, ny), steps=steps, repeats=repeats, log=log
+        params,
+        channel_box(nx, ny),
+        steps=steps,
+        repeats=repeats,
+        log=log,
+        schedules=("row",),
     )
     return bool(results)
 
@@ -334,19 +342,28 @@ def autotune_sweep(
     repeats: int = 3,
     record_results: bool = True,
     log=_print_flush,
+    schedules: tuple[str, ...] = ("row", "xtiled"),
 ) -> list[tuple[int, int, float, int]]:
     """Measure every temporal candidate — row-blocked (BY, K) and x-tiled
     (BY, K, Px) — for this grid on the actual device and (optionally)
     record the ranked results in the cache.  Returns measured
     ``(by, k, us_per_step, px)`` sorted fastest first ([] when nothing
-    compiled/ran)."""
+    compiled/ran).  ``schedules`` restricts the candidate pool — the
+    sharded slab sweep passes ``("row",)`` because its per-shard kernel
+    can only consume px = 1 entries."""
     ny, nx = params.ny, params.nx
     kind = default_device_kind()
     pruned: list[tuple] = []
-    cands = [(by, k, 1) for by, k in temporal_candidates(ny, nx, steps, skipped=pruned)]
-    pruned_xt: list[tuple[int, int, int]] = []
-    cands += xtiled_candidates(ny, nx, steps, skipped=pruned_xt)
-    pruned += pruned_xt
+    cands = []
+    if "row" in schedules:
+        cands += [
+            (by, k, 1)
+            for by, k in temporal_candidates(ny, nx, steps, skipped=pruned)
+        ]
+    if "xtiled" in schedules:
+        pruned_xt: list[tuple[int, int, int]] = []
+        cands += xtiled_candidates(ny, nx, steps, skipped=pruned_xt)
+        pruned += pruned_xt
     if pruned:
         # No-silent-caps rule: the VMEM window cap is v5e-measured and may
         # be conservative on larger-VMEM devices.

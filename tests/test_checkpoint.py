@@ -212,6 +212,39 @@ def test_sharded_checkpoint_crash_atomicity(tmp_path):
     np.testing.assert_array_equal(cont.f, np.asarray(res.f))
 
 
+def test_sharded_av_crash_window(tmp_path):
+    """The av file is written BEFORE the meta commit: a crash between the
+    two renames leaves a NEWER av beside the older committed meta.  Load
+    must truncate av to the committed step (or the resumed run would
+    duplicate the uncommitted steps' av entries); a SHORTER av means a
+    corrupt/foreign file and must fail loudly."""
+    import jax
+
+    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    obstacles = channel_box(64, 32)
+    ShardedSimulator(PARAMS, obstacles, mesh=default_mesh(2)).run_checkpointed(
+        tmp_path, every=8, max_iters=8
+    )
+    committed = ckpt.load(tmp_path)
+    assert committed.step == 8 and committed.av_vels.shape == (8,)
+    # Crash window: av from the (uncommitted) step-16 snapshot.
+    longer = np.arange(16, dtype=np.float32)
+    longer[:8] = committed.av_vels
+    with open(tmp_path / ckpt.AV_FILENAME, "wb") as fp:
+        np.savez(fp, av_vels=longer)
+    loaded = ckpt.load(tmp_path)
+    assert loaded.step == 8
+    np.testing.assert_array_equal(loaded.av_vels, committed.av_vels)
+    # Corrupt: av shorter than the committed step.
+    with open(tmp_path / ckpt.AV_FILENAME, "wb") as fp:
+        np.savez(fp, av_vels=longer[:4])
+    with pytest.raises(ValueError, match="av stream"):
+        ckpt.load(tmp_path)
+
+
 def test_sharded_load_rejects_missing_shard(tmp_path):
     """A meta referencing an absent/incomplete shard set fails loudly
     instead of resuming from a hole-filled state."""

@@ -216,12 +216,11 @@ def test_maybe_autotune_slab_opt_in(cache_file, monkeypatch, capsys):
     monkeypatch.setenv("LBM_AUTOTUNE_ON_MISS", "1")
     assert tuning.maybe_autotune_slab(512, 4096, kind)
     assert calls  # swept
+    # Row-only: the sharded callers can only consume px = 1 entries, so
+    # the on-miss sweep must not burn compiles on x-tiled candidates.
+    assert all(px == 1 for _, _, px in calls)
     entry = tuning.lookup(kind, 512, 4096)
-    # Fake ranks biggest (BY + K) fastest; the winner is an x-tiled
-    # candidate (narrow strips admit the largest window) — proving the
-    # on-miss sweep covers both schedules.
-    assert entry and entry[0] == (256, 16, 4)
-    assert any(px == 1 for _, _, px in entry)  # row-blocked swept too
+    assert entry and entry[0] == (32, 16, 1)  # fake ranks biggest fastest
     # Second call: the fresh entry suppresses the sweep.
     calls.clear()
     assert not tuning.maybe_autotune_slab(512, 4096, kind)
