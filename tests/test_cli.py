@@ -505,6 +505,32 @@ def test_checker_empty_series(tmp_path):
         assert compare_files(ref_av_vels=str(a), av_vels=str(a))
 
 
+def test_compile_fallback_warns():
+    """A kernel variant that fails to compile must degrade LOUDLY: the
+    fallback chain still lands on a working schedule, but the user is
+    told which level failed (a silent degrade would hand back a multi-x
+    slower — or subtly different — variant with no indication)."""
+    import dataclasses
+    import warnings
+
+    from lbm_tpu.config import CANONICAL_PARAMS
+    from lbm_tpu.geometry import canonical_obstacles
+    from lbm_tpu.runtime import Simulator
+
+    params = dataclasses.replace(CANONICAL_PARAMS["128x128"], max_iters=8)
+    obs = canonical_obstacles("128x128")
+    # kernel="fused" on the CPU backend: the Pallas variants cannot
+    # compile (no interpret flag through Simulator), so the chain must
+    # fall through to the jnp path, warning at each failed level.
+    sim = Simulator(params, obs, kernel="fused")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res = sim.run()
+    assert np.isfinite(res.av_vels).all()
+    msgs = [str(w.message) for w in caught]
+    assert any("failed to compile" in m for m in msgs), msgs
+
+
 def test_invalid_readback_mode_rejected():
     import dataclasses
 
