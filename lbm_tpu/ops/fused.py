@@ -65,7 +65,7 @@ from lbm_tpu.ops.lattice import (
     WEIGHTS,
     kick_scale,
 )
-from lbm_tpu.ops.reference import accel_weights
+from lbm_tpu.ops.reference import accel_weights, uniform_weights
 
 # Mosaic's default scoped-VMEM limit is 16 MiB, far below the v5e's
 # physical VMEM; all kernels raise it (measured: BY=128 row blocks and
@@ -103,6 +103,16 @@ class StepProgram:
     # ``init`` must also work WITHOUT them (embedding) so tests and
     # ad-hoc callers stay simple.
     consts: tuple = ()
+    # Optional ``init0(*consts) -> carry``: build the carry for the
+    # CANONICAL uniform initial state (``init_cells``) directly on-device,
+    # without materializing ``f0[9, ny, nx]`` as an argument.  Two wins:
+    # the driver fuses initialization into the compiled run program (one
+    # fewer executable dispatch — ~15-20 ms through the tunnel), and
+    # carry layouts that differ from ``f``'s (the x-tiled strip-major
+    # relayout) skip the f0+carry transient that would exceed HBM at
+    # giant grids (both live at 16384²: ~20 GB on a 16 GB chip).  When
+    # None, drivers compose ``init(init_cells(params), *consts)``.
+    init0: Callable[..., Any] | None = None
 
     def single(self) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
         """Collapse to a plain ``f -> (f', av)`` one-step function (consts
@@ -1368,6 +1378,29 @@ def build_temporal_xtiled_program(
         xw = jnp.roll(fs[:, :, :, :edge], -1, axis=0)
         return (fs, gs, gn, xe, xw, maskext)
 
+    def init0(maskext=None):
+        """Carry for the canonical uniform state, built by broadcast — no
+        f0 argument, no relayout transient (at 16384² ``init`` would hold
+        f0 + the strip-major fs ≈ 20 GB at once; this path peaks at the
+        carry itself, ~12 GB).  The only difference from ``init`` is the
+        PAD/dead lanes ``[bx+K, w-K)`` carrying the weights instead of
+        zeros — don't-cares by the trapezoidal reach argument (owned
+        outputs read at most K lanes past the strip edge, i.e. only the
+        refreshed halo bands), and ``final`` strips them."""
+        if maskext is None:
+            maskext = jnp.asarray(maskext_host)
+        per = jnp.asarray(uniform_weights(params))
+        fs = jnp.broadcast_to(
+            per[None, :, None, None], (px, NSPEEDS, ny, w)
+        ).astype(jnp.float32)
+        ghost = jnp.broadcast_to(
+            per[None, None, None, :, None], (px, p_loc, ksteps, NSPEEDS, w)
+        ).astype(jnp.float32)
+        xedge = jnp.broadcast_to(
+            per[None, :, None, None], (px, NSPEEDS, ny, edge)
+        ).astype(jnp.float32)
+        return (fs, ghost, ghost, xedge, xedge, maskext)
+
     def step(carry):
         fs, gs, gn, xe, xw, maskext = carry
         fs2, gs2, gn2, xe2, xw2, avs = call(
@@ -1387,6 +1420,7 @@ def build_temporal_xtiled_program(
         final=final,
         chunk=ksteps,
         consts=(maskext_host,),
+        init0=init0,
     )
 
 

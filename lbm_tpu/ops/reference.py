@@ -26,18 +26,24 @@ from lbm_tpu.config import LBMParams
 from lbm_tpu.ops.lattice import CX, CY, NSPEEDS, OPPOSITE, WEIGHTS
 
 
-def init_cells(params: LBMParams) -> jax.Array:
-    """Uniform initial distributions: w0·rho, w1·rho, w2·rho per speed class
-    (``d2q9-bgk.c:529-550``)."""
+def uniform_weights(params: LBMParams) -> np.ndarray:
+    """The 9 per-speed values of the uniform initial state: w0·rho, w1·rho,
+    w2·rho per speed class (``d2q9-bgk.c:529-550``), exact fp32."""
     rho = np.float32(params.density)
-    per_speed = np.array(
+    return np.array(
         [rho * np.float32(4.0) / np.float32(9.0)]
         + [rho / np.float32(9.0)] * 4
         + [rho / np.float32(36.0)] * 4,
         dtype=np.float32,
     )
+
+
+def init_cells(params: LBMParams) -> jax.Array:
+    """Uniform initial distributions broadcast over the grid
+    (``d2q9-bgk.c:529-550``)."""
     return jnp.broadcast_to(
-        per_speed[:, None, None], (NSPEEDS, params.ny, params.nx)
+        uniform_weights(params)[:, None, None],
+        (NSPEEDS, params.ny, params.nx),
     ).astype(jnp.float32)
 
 

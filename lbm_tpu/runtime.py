@@ -257,18 +257,24 @@ class Simulator:
         self.device = device if device is not None else select_device()
         self.kernel = kernel
         self._collect = collect_av_vels
-        self._compiled: dict[tuple[int, str], Any] = {}
+        self._compiled: dict[tuple[int, str, bool], Any] = {}
         self._chunks: dict[int, int] = {}
         self._init_compiled: Any = None
 
     # -- compiled program ---------------------------------------------------
 
     def _build(self, max_iters: int, fallback_level: int = 0,
-               readback: str = "state"):
+               readback: str = "state", from_f0: bool = True):
         """fallback_level: 0 = chunked/temporal kernels allowed, 1 =
         single-step fused only, 2 = jnp reference path.  readback:
         'state' returns the 9-plane f, 'fields' returns the 4 derived
-        final-state planes (less than half the device->host traffic)."""
+        final-state planes (less than half the device->host traffic).
+        ``from_f0=False`` builds the zero-f-argument variant: the carry
+        for the canonical uniform initial state is constructed INSIDE the
+        compiled program (``StepProgram.init0``, or ``init`` composed with
+        the on-device ``init_cells`` broadcast) — one fewer executable
+        dispatch per run, and no f0+carry relayout transient at giant
+        grids."""
         program = make_program(
             self.params,
             self.obstacles,
@@ -289,36 +295,64 @@ class Simulator:
             carry, av = program.step(carry)
             return carry, av if self._collect else None
 
-        # Donation lets XLA alias f0 with the returned f buffer; in fields
-        # mode no output matches the input shape, so donating would only
-        # emit a "donated buffers were not usable" warning.
-        donate = (0,) if readback == "state" else ()
+        if from_f0:
+            # Donation lets XLA alias f0 with the returned f buffer; in
+            # fields mode no output matches the input shape, so donating
+            # would only emit a "donated buffers were not usable" warning.
+            donate = (0,) if readback == "state" else ()
 
-        @functools.partial(jax.jit, donate_argnums=donate)
-        def run_scan(f0, *consts):
-            # Large static operands (e.g. the temporal program's extended
-            # mask) enter as ARGUMENTS, not closure constants: an embedded
-            # multi-hundred-MB literal blows the remote compile service's
-            # request limit at big grids (HTTP 413 at 8192^2).
-            carry, av = jax.lax.scan(
-                body,
-                program.init(f0, *consts),
-                None,
-                length=max_iters // program.chunk,
+            @functools.partial(jax.jit, donate_argnums=donate)
+            def run_scan(f0, *consts):
+                # Large static operands (e.g. the temporal program's
+                # extended mask) enter as ARGUMENTS, not closure constants:
+                # an embedded multi-hundred-MB literal blows the remote
+                # compile service's request limit at big grids (HTTP 413
+                # at 8192^2).
+                carry, av = jax.lax.scan(
+                    body,
+                    program.init(f0, *consts),
+                    None,
+                    length=max_iters // program.chunk,
+                )
+                if self._collect and program.chunk > 1:
+                    av = av.reshape(max_iters)
+                return finalize(program.final(carry)), av
+
+        else:
+            init0 = program.init0 or (
+                lambda *consts: program.init(init_cells(self.params), *consts)
             )
-            if self._collect and program.chunk > 1:
-                av = av.reshape(max_iters)
-            return finalize(program.final(carry)), av
+            # No f argument to infer placement from: pin the outputs (and
+            # with them the whole program) to the bound device.
+            sharding = jax.sharding.SingleDeviceSharding(self.device)
+
+            @functools.partial(jax.jit, out_shardings=sharding)
+            def run_scan(*consts):
+                carry, av = jax.lax.scan(
+                    body,
+                    init0(*consts),
+                    None,
+                    length=max_iters // program.chunk,
+                )
+                if self._collect and program.chunk > 1:
+                    av = av.reshape(max_iters)
+                return finalize(program.final(carry)), av
 
         run_scan.consts = program.consts
         return run_scan
 
-    def compiled(self, max_iters: int | None = None, readback: str = "state"):
+    def compiled(self, max_iters: int | None = None, readback: str = "state",
+                 from_f0: bool = False):
         """AOT-compile (and cache) the full-run program for ``max_iters``.
 
         Ahead-of-time compilation is the analog of the reference's
         ``clBuildProgram`` inside ``initialise()`` — it happens before the
         run timer starts.
+
+        ``from_f0=False`` (the plain-``run()`` variant) takes no f
+        argument: initialization is fused into the program (see
+        ``_build``).  ``from_f0=True`` is the ``f(f0)`` variant used when
+        the caller supplies a starting state (checkpoint resume).
         """
         check_readback(readback)
         if max_iters is None:
@@ -327,7 +361,7 @@ class Simulator:
         # only whether the caller fetches) — share the compile cache entry.
         if readback == "device":
             readback = "state"
-        key = (max_iters, readback)
+        key = (max_iters, readback, from_f0)
         if key not in self._compiled:
             # Bind the target device at lowering time; otherwise the
             # executable is pinned to the default device and a non-default
@@ -344,7 +378,8 @@ class Simulator:
                 # invalid split) that must propagate, not silently degrade
                 # to the jnp path.
                 fn = self._build(
-                    max_iters, fallback_level=level, readback=readback
+                    max_iters, fallback_level=level, readback=readback,
+                    from_f0=from_f0,
                 )
                 consts = getattr(fn, "consts", ())
                 cspecs = [
@@ -356,17 +391,23 @@ class Simulator:
                     for c in consts
                 ]
                 try:
-                    exe = fn.lower(spec, *cspecs).compile()
+                    args = (spec, *cspecs) if from_f0 else tuple(cspecs)
+                    exe = fn.lower(*args).compile()
                     if consts:
                         # Bind the device-resident consts so callers keep
-                        # the plain ``fn(f)`` calling convention.
+                        # the plain ``fn(f)`` / ``fn()`` calling convention.
                         cdev = tuple(
                             jax.device_put(np.asarray(c), self.device)
                             for c in consts
                         )
-                        exe = functools.partial(
-                            (lambda _e, _c, f: _e(f, *_c)), exe, cdev
-                        )
+                        if from_f0:
+                            exe = functools.partial(
+                                (lambda _e, _c, f: _e(f, *_c)), exe, cdev
+                            )
+                        else:
+                            exe = functools.partial(
+                                (lambda _e, _c: _e(*_c)), exe, cdev
+                            )
                     self._compiled[key] = exe
                     break
                 except COMPILE_FALLBACK_ERRORS as e:
@@ -388,10 +429,13 @@ class Simulator:
                     last_err = e
             else:
                 raise last_err
-        # Pre-build the on-device f0 initializer alongside the run program
-        # so the first run() doesn't pay its trace/compile inside the timed
-        # region (measured ~0.8 s of jit dispatch on the first call).
-        self._init_program()
+        # The f0-variant needs the standalone on-device initializer (the
+        # checkpoint driver seeds fresh runs from it); pre-build it so the
+        # first run() doesn't pay its trace/compile inside the timed
+        # region (measured ~0.8 s of jit dispatch on the first call).  The
+        # plain variant fuses initialization into the program itself.
+        if from_f0:
+            self._init_program()
         return self._compiled[key]
 
     def _init_program(self):
@@ -449,14 +493,16 @@ class Simulator:
         if max_iters is None:
             max_iters = self.params.max_iters
         del warmup  # compilation is always ahead-of-time via compiled()
-        fn = self.compiled(max_iters, readback=readback)
+        from_f0 = f0 is not None
+        fn = self.compiled(max_iters, readback=readback, from_f0=from_f0)
         tic = time.perf_counter()
-        f = (
-            self.initial_state()
-            if f0 is None
-            else jax.device_put(jnp.asarray(f0, jnp.float32), self.device)
-        )
-        out, av = fn(f)
+        if from_f0:
+            f = jax.device_put(jnp.asarray(f0, jnp.float32), self.device)
+            out, av = fn(f)
+        else:
+            # Initialization is fused into the compiled program — the
+            # timed region is a single executable dispatch plus the fetch.
+            out, av = fn()
         if readback == "device":
             # f stays on device (the checkpointed segment driver feeds it
             # straight into the next segment); fetch only the av stream —
@@ -515,10 +561,15 @@ class Simulator:
         f, av, elapsed, executed = run_segments_checkpointed(
             # Device readback: f stays on-chip between segments; the v1
             # save gathers it once per snapshot (np.asarray inside save).
+            # A fresh start seeds f0 from the on-device initializer so
+            # every segment (first included) runs the SAME compiled
+            # f0-variant — one AOT compile per segment length.
             run_segment=lambda seg, f0: self.run(
-                max_iters=seg, f0=f0, readback="device"
+                max_iters=seg,
+                f0=f0 if f0 is not None else self.initial_state(),
+                readback="device",
             ),
-            precompile=self.compiled,
+            precompile=functools.partial(self.compiled, from_f0=True),
             params=self.params,
             obstacles=self.obstacles,
             checkpoint_dir=checkpoint_dir,

@@ -320,7 +320,13 @@ def time_temporal_candidate(
         )[0]
 
     try:
-        carry = prog.init(init_cells(params))
+        # init0 (when the program has one) builds the carry by broadcast —
+        # at giant grids init(init_cells(...)) would hold f0 AND the
+        # strip-major carry at once (~20 GB at 16384² — over HBM).
+        carry = (
+            prog.init0() if prog.init0 is not None
+            else prog.init(init_cells(params))
+        )
         carry = run(carry)  # compile + warmup
         jax.device_get(jax.tree.leaves(carry)[0][0, 0, 0])
         best = float("inf")

@@ -238,6 +238,39 @@ def test_temporal_xtiled_k4_random_geometry():
     )
 
 
+def test_temporal_xtiled_init0_matches_init():
+    """``init0`` (the no-f0-argument uniform-carry builder that unlocks
+    giant grids) must produce the same owned state and av stream as
+    ``init(init_cells(...))`` — dead/pad lanes are the only permitted
+    difference (weights vs zeros; never read by owned outputs)."""
+    from lbm_tpu.ops.fused import build_temporal_xtiled_program
+
+    params = LBMParams(64, 16, 8, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(64, 16, interior_row=9)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    program = build_temporal_xtiled_program(
+        params, obstacles, fcinv, by=4, ksteps=2, px=4, interpret=True
+    )
+    assert program.init0 is not None
+    step = jax.jit(program.step)
+
+    carry_a = program.init(init_cells(params))
+    carry_b = program.init0()
+    avs_a, avs_b = [], []
+    for _ in range(4):
+        carry_a, av_a = step(carry_a)
+        carry_b, av_b = step(carry_b)
+        avs_a.append(np.asarray(av_a))
+        avs_b.append(np.asarray(av_b))
+    np.testing.assert_array_equal(
+        np.asarray(program.final(carry_a)),
+        np.asarray(program.final(carry_b)),
+    )
+    np.testing.assert_array_equal(
+        np.concatenate(avs_a), np.concatenate(avs_b)
+    )
+
+
 def test_temporal_xtiled_validation():
     from lbm_tpu.ops.fused import build_temporal_xtiled_program
 

@@ -45,3 +45,20 @@ def test_mass_conserved_fp64():
     f0 = init_cells64(params)
     f, _ = run64(params, obs)
     np.testing.assert_allclose(f.sum(), f0.sum(), rtol=1e-12)
+
+
+def test_fused_init_variant_matches_explicit_f0():
+    """``run()`` with no f0 compiles the init0-fused program (no f
+    argument, one dispatch); it must be bit-identical to the f0-variant
+    fed the canonical initial state."""
+    from lbm_tpu.ops.reference import init_cells
+
+    params = LBMParams(32, 16, 20, 10, 0.1, 0.005, 1.85)
+    obs = channel_box(32, 16)
+    sim = Simulator(params, obs, kernel="reference")
+    res_fused = sim.run()
+    res_f0 = sim.run(f0=np.asarray(init_cells(params)))
+    np.testing.assert_array_equal(res_fused.f, res_f0.f)
+    np.testing.assert_array_equal(res_fused.av_vels, res_f0.av_vels)
+    # Both variants coexist in the compile cache under distinct keys.
+    assert {k[2] for k in sim._compiled} == {False, True}
