@@ -1393,13 +1393,28 @@ def build_temporal_xtiled_program(
         fs = jnp.broadcast_to(
             per[None, :, None, None], (px, NSPEEDS, ny, w)
         ).astype(jnp.float32)
-        ghost = jnp.broadcast_to(
-            per[None, None, None, :, None], (px, p_loc, ksteps, NSPEEDS, w)
-        ).astype(jnp.float32)
-        xedge = jnp.broadcast_to(
-            per[None, :, None, None], (px, NSPEEDS, ny, edge)
-        ).astype(jnp.float32)
-        return (fs, ghost, ghost, xedge, xedge, maskext)
+
+        # Each carry slot gets its OWN buffer.  Returning one array object
+        # in two slots (the original `(fs, ghost, ghost, xedge, xedge, m)`)
+        # is fine inside jit, but a caller that donates the carry — the
+        # autotuner's timing scan — then donates the same device buffer
+        # twice, which the TPU runtime rejects at dispatch with an opaque
+        # INVALID_ARGUMENT (observed: every eager-init0 x-tiled run on
+        # hardware; misdiagnosed for a while as a giant-grid capacity
+        # ceiling, docs/PERF.md round-3 capacity note).
+        def ghost_buf():
+            return jnp.broadcast_to(
+                per[None, None, None, :, None],
+                (px, p_loc, ksteps, NSPEEDS, w),
+            ).astype(jnp.float32)
+
+        def xedge_buf():
+            return jnp.broadcast_to(
+                per[None, :, None, None], (px, NSPEEDS, ny, edge)
+            ).astype(jnp.float32)
+
+        return (fs, ghost_buf(), ghost_buf(), xedge_buf(), xedge_buf(),
+                maskext)
 
     def step(carry):
         fs, gs, gn, xe, xw, maskext = carry

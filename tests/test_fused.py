@@ -271,6 +271,29 @@ def test_temporal_xtiled_init0_matches_init():
     )
 
 
+def test_temporal_xtiled_init0_leaves_are_distinct_buffers():
+    """Every leaf of the eager ``init0()`` carry must own a distinct
+    device buffer.  The original ``(fs, ghost, ghost, xedge, xedge, m)``
+    returned the SAME array object in two slots; a caller that donates
+    the carry (the autotuner's timing scan, ``tuning.py``) then donates
+    one buffer twice, which the TPU runtime rejects at dispatch with an
+    opaque INVALID_ARGUMENT — this failed on hardware at every grid size
+    and was misdiagnosed as a giant-grid capacity ceiling."""
+    from lbm_tpu.ops.fused import build_temporal_xtiled_program
+
+    params = LBMParams(64, 16, 8, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(64, 16)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    program = build_temporal_xtiled_program(
+        params, obstacles, fcinv, by=4, ksteps=2, px=4, interpret=True
+    )
+    leaves = jax.tree.leaves(program.init0())
+    ptrs = [x.unsafe_buffer_pointer() for x in leaves]
+    assert len(set(ptrs)) == len(ptrs), (
+        "init0 carry leaves share device buffers (double-donation hazard)"
+    )
+
+
 def test_temporal_xtiled_validation():
     from lbm_tpu.ops.fused import build_temporal_xtiled_program
 
