@@ -130,6 +130,16 @@ def test_choose_schedule_cache_beats_xtiled_heuristic(cache_file):
     assert choose_schedule(8192, 8192, 900) == (128, 4, 4)  # heuristic
 
 
+def test_choose_xtiled_giant_grids():
+    """The heuristic extends past 8192 with 2048-lane strips — the exact
+    configs validated on hardware at 20.4 / 20.05 GLUPS (docs/PERF.md
+    capacity-ceiling table)."""
+    from lbm_tpu.ops.fused import choose_temporal_xtiled
+
+    assert choose_temporal_xtiled(12288, 12288, 20000) == (128, 4, 6)
+    assert choose_temporal_xtiled(16384, 16384, 20000) == (128, 4, 8)
+
+
 def test_xtiled_candidate_enumeration():
     """x-tiled sweep candidates satisfy the kernel's structural rules and
     the VMEM window cap against the padded strip width."""
