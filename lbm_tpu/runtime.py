@@ -52,6 +52,29 @@ READBACK_MODES = ("state", "fields", "device")
 # explicit split) are raised outside it and propagate.
 COMPILE_FALLBACK_ERRORS = (jax.errors.JaxRuntimeError, ValueError)
 
+# Measured on the 16 GiB v5e (docs/PERF.md capacity-ceiling section): the
+# state-readback program peaks at roughly 3x f's bytes — the x-tiled
+# carry (~1.06x f with the lane pad), the un-tiled [9, ny, nx] output,
+# and the un-tiling transpose temp coexist.  12288^2 (f = 5.06 GiB) was
+# rejected at dispatch with a bare RESOURCE_EXHAUSTED while the fields
+# readback — whose device-side payload is 3 fp16 planes derived without
+# keeping a second full f — ran the same grid fine; 8192^2 (2.25 GiB)
+# runs in state mode.  The budget is deliberately a little under the
+# physical 16 GiB to leave room for scan bookkeeping and masks.
+_STATE_READBACK_PEAK_FACTOR = 3.2
+_HBM_BUDGET_GIB = 15.0
+
+
+def state_readback_fits(
+    ny: int, nx: int, budget_gib: float | None = None
+) -> bool:
+    """Whether the full-state readback program's peak HBM footprint is
+    expected to fit (see the factor's derivation above)."""
+    if budget_gib is None:
+        budget_gib = _HBM_BUDGET_GIB
+    f_gib = 9 * ny * nx * 4 / 2**30
+    return _STATE_READBACK_PEAK_FACTOR * f_gib <= budget_gib
+
 
 def raw_fields_fn(params: LBMParams, obstacles: np.ndarray):
     """Device-side ``f -> [u_x, u_y, rho - density]`` in float16 — the
@@ -361,6 +384,18 @@ class Simulator:
         # only whether the caller fetches) — share the compile cache entry.
         if readback == "device":
             readback = "state"
+        if readback == "state" and not state_readback_fits(
+            self.params.ny, self.params.nx
+        ):
+            import warnings
+
+            warnings.warn(
+                f"state readback at {self.params.ny}x{self.params.nx} "
+                "peaks at ~3x f's bytes and exceeded HBM in testing "
+                "(RESOURCE_EXHAUSTED at dispatch, surfacing only at the "
+                "next device_get); use readback='fields' for giant grids",
+                stacklevel=2,
+            )
         key = (max_iters, readback, from_f0)
         if key not in self._compiled:
             # Bind the target device at lowering time; otherwise the

@@ -531,6 +531,37 @@ def test_compile_fallback_warns():
     assert any("failed to compile" in m for m in msgs), msgs
 
 
+def test_giant_grid_state_readback_warns(monkeypatch):
+    """Giant-grid state readback must warn BEFORE dispatch: the real
+    failure is a bare RESOURCE_EXHAUSTED surfacing at the next
+    device_get (docs/PERF.md capacity section), which names nothing."""
+    import dataclasses
+    import warnings
+
+    from lbm_tpu import runtime
+    from lbm_tpu.config import CANONICAL_PARAMS
+    from lbm_tpu.geometry import canonical_obstacles
+    from lbm_tpu.runtime import Simulator, state_readback_fits
+
+    # Measured boundary: 8192^2 (f = 2.25 GiB) ran in state mode on the
+    # 16 GiB chip; 12288^2 (5.06 GiB) was rejected.
+    assert state_readback_fits(8192, 8192)
+    assert not state_readback_fits(12288, 12288)
+    assert not state_readback_fits(16384, 16384)
+    # fields mode is exempt (its device payload is 3 fp16 planes):
+    # exercise the wiring on a tiny grid by shrinking the budget.
+    params = dataclasses.replace(CANONICAL_PARAMS["128x128"], max_iters=4)
+    sim = Simulator(params, canonical_obstacles("128x128"), kernel="reference")
+    monkeypatch.setattr(runtime, "_HBM_BUDGET_GIB", 0.0)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sim.compiled(readback="state")
+        sim.compiled(readback="fields")
+    msgs = [str(w.message) for w in caught]
+    assert any("readback='fields'" in m for m in msgs), msgs
+    assert sum("readback='fields'" in m for m in msgs) == 1  # state only
+
+
 def test_invalid_readback_mode_rejected():
     import dataclasses
 
