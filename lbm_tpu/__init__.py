@@ -30,7 +30,12 @@ from lbm_tpu.parallel.sharded import (
     default_mesh,
     default_mesh_2d,
 )
-from lbm_tpu.runtime import RunResult, Simulator, select_device
+from lbm_tpu.runtime import (
+    RunResult,
+    Simulator,
+    select_device,
+    state_readback_fits,
+)
 
 __version__ = "0.1.0"
 
@@ -51,6 +56,7 @@ __all__ = [
     "read_av_vels",
     "read_final_state",
     "select_device",
+    "state_readback_fits",
     "total_density",
     "write_av_vels",
     "write_final_state",
