@@ -113,6 +113,17 @@ class StepProgram:
     # giant grids (both live at 16384²: ~20 GB on a 16 GB chip).  When
     # None, drivers compose ``init(init_cells(params), *consts)``.
     init0: Callable[..., Any] | None = None
+    # Optional ``final_fields(carry) -> [3, ny, nx] float16``: the compact
+    # fields-readback payload (``runtime.raw_fields_fn`` contract:
+    # ``[u_x, u_y, rho - density]``, u masked to 0 on obstacles) derived
+    # DIRECTLY from the carry.  Only programs whose carry layout differs
+    # from ``f`` set this: composing ``raw_fields_fn(final(carry))`` on
+    # the x-tiled program materializes the un-tiled fp32 f (9 GiB at
+    # 16384²) next to the strip-major carry (~10 GiB) and OOMs the chip,
+    # while the per-strip derivation peaks at the carry plus two fp16
+    # 3-plane arrays.  When None, drivers compose
+    # ``raw_fields_fn(params, obstacles)(final(carry))``.
+    final_fields: Callable[[Any], jax.Array] | None = None
 
     def single(self) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
         """Collapse to a plain ``f -> (f', av)`` one-step function (consts
@@ -1429,6 +1440,40 @@ def build_temporal_xtiled_program(
             NSPEEDS, ny, nx
         )
 
+    density = float(np.float32(params.density))
+
+    def final_fields(carry):
+        """Per-strip ``[u_x, u_y, rho - density]`` fp16 payload — same
+        math as ``runtime.raw_fields_fn`` but computed in the carry's
+        strip-major layout so the un-tiled fp32 f never materializes
+        (the transposed intermediate is 3 fp16 planes, 24x smaller; the
+        difference between 16384² fields readback running and OOMing).
+        The fluid mask comes from the carried maskext's owned region
+        (window rows [K, K+BY), lanes [0, BX)) — re-deriving it from
+        ``obstacles`` would embed a second giant literal."""
+        fs = carry[0][:, :, :, :bx]  # [px, 9, ny, bx] owned lanes
+        maskext = carry[5].reshape(px, p_loc, byext, w)
+        fluid = (
+            maskext[:, :, ksteps : ksteps + by, :bx]
+            .reshape(px, ny, bx)
+            .astype(bool)
+        )
+        rho = jnp.sum(fs, axis=1)
+        ux = jnp.where(
+            fluid,
+            (fs[:, 1] + fs[:, 5] + fs[:, 8] - fs[:, 3] - fs[:, 6] - fs[:, 7])
+            / rho,
+            0.0,
+        )
+        uy = jnp.where(
+            fluid,
+            (fs[:, 2] + fs[:, 5] + fs[:, 6] - fs[:, 4] - fs[:, 7] - fs[:, 8])
+            / rho,
+            0.0,
+        )
+        raw = jnp.stack([ux, uy, rho - density], axis=1).astype(jnp.float16)
+        return jnp.transpose(raw, (1, 2, 0, 3)).reshape(3, ny, nx)
+
     return StepProgram(
         init=init,
         step=step,
@@ -1436,6 +1481,7 @@ def build_temporal_xtiled_program(
         chunk=ksteps,
         consts=(maskext_host,),
         init0=init0,
+        final_fields=final_fields,
     )
 
 

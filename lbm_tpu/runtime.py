@@ -308,11 +308,21 @@ class Simulator:
         )
         assert max_iters % program.chunk == 0
         self._chunks[max_iters] = program.chunk
-        finalize = (
-            raw_fields_fn(self.params, self.obstacles)
-            if readback == "fields"
-            else (lambda f: f)
-        )
+        if readback == "fields" and program.final_fields is not None:
+            # Programs with a non-f carry layout (x-tiled) derive the
+            # payload per strip — composing raw_fields_fn(final(carry))
+            # would materialize the un-tiled fp32 f next to the carry and
+            # OOM at giant grids (see StepProgram.final_fields).
+            emit = program.final_fields
+        else:
+            finalize = (
+                raw_fields_fn(self.params, self.obstacles)
+                if readback == "fields"
+                else (lambda f: f)
+            )
+
+            def emit(carry):
+                return finalize(program.final(carry))
 
         def body(carry, _):
             carry, av = program.step(carry)
@@ -339,7 +349,7 @@ class Simulator:
                 )
                 if self._collect and program.chunk > 1:
                     av = av.reshape(max_iters)
-                return finalize(program.final(carry)), av
+                return emit(carry), av
 
         else:
             init0 = program.init0 or (
@@ -359,7 +369,7 @@ class Simulator:
                 )
                 if self._collect and program.chunk > 1:
                     av = av.reshape(max_iters)
-                return finalize(program.final(carry)), av
+                return emit(carry), av
 
         run_scan.consts = program.consts
         return run_scan

@@ -238,6 +238,31 @@ def test_temporal_xtiled_k4_random_geometry():
     )
 
 
+def test_temporal_xtiled_final_fields_matches_raw_fields():
+    """``final_fields`` (the per-strip fields payload that keeps 16384²
+    fields readback inside HBM) must equal composing the generic
+    ``raw_fields_fn`` on the un-tiled ``final(carry)`` — same math, the
+    carry's strip-major layout, the carried maskext as the fluid mask."""
+    from lbm_tpu.ops.fused import build_temporal_xtiled_program
+    from lbm_tpu.runtime import raw_fields_fn
+
+    params = LBMParams(64, 16, 8, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(64, 16, interior_row=9)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    program = build_temporal_xtiled_program(
+        params, obstacles, fcinv, by=4, ksteps=2, px=4, interpret=True
+    )
+    assert program.final_fields is not None
+    step = jax.jit(program.step)
+    carry = program.init(init_cells(params))
+    for _ in range(3):
+        carry, _ = step(carry)
+    via_f = raw_fields_fn(params, obstacles)(program.final(carry))
+    direct = program.final_fields(carry)
+    assert direct.dtype == jnp.float16 and direct.shape == (3, 16, 64)
+    np.testing.assert_array_equal(np.asarray(via_f), np.asarray(direct))
+
+
 def test_temporal_xtiled_init0_matches_init():
     """``init0`` (the no-f0-argument uniform-carry builder that unlocks
     giant grids) must produce the same owned state and av stream as
