@@ -124,6 +124,35 @@ class StepProgram:
     # 3-plane arrays.  When None, drivers compose
     # ``raw_fields_fn(params, obstacles)(final(carry))``.
     final_fields: Callable[[Any], jax.Array] | None = None
+    # Optional giant-grid checkpoint hooks (see :class:`CheckpointIO`).
+    # Factories whose carry layout differs from ``f`` AND whose
+    # ``final()`` cannot run on device at HBM capacity (the x-tiled
+    # schedule) set this so checkpointed runs can keep the CARRY resident
+    # between segments and convert to/from the portable ``f`` snapshot
+    # format on the HOST.  When None, checkpoint drivers pass ``f``
+    # between segments (fine wherever ``state_readback_fits``).
+    checkpoint_io: "CheckpointIO | None" = None
+
+
+@dataclasses.dataclass
+class CheckpointIO:
+    """Carry <-> host-``f`` conversion that never materializes the
+    un-tiled fp32 f on DEVICE.
+
+    ``to_f_host(carry) -> np.ndarray [9, ny, nx]``: fetch the carry's
+    state leaf and un-tile on the host (a device-side ``final()`` would
+    hold both layouts at once — the giant-grid OOM).  ``from_f_host(f)
+    -> carry``: host-side relayout, then EAGER per-leaf device ops for
+    the ghost state — eager so every carry slot owns a distinct buffer
+    (the jit-CSE'd variant would re-merge the duplicate ghost buffers
+    and resurrect the double-donation dispatch rejection;
+    ``test_temporal_xtiled_init0_leaves_are_distinct_buffers``).
+    Snapshots stay in the portable v1 ``.npz`` f-format, so a run
+    checkpointed by the carry-resident driver resumes fine on any other
+    kernel/mesh (and vice versa)."""
+
+    to_f_host: Callable[[Any], np.ndarray]
+    from_f_host: Callable[[np.ndarray], Any]
 
     def single(self) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
         """Collapse to a plain ``f -> (f', av)`` one-step function (consts
@@ -1364,13 +1393,11 @@ def build_temporal_xtiled_program(
         interpret=interpret,
     )
 
-    def init(f, maskext=None):
-        if maskext is None:
-            maskext = jnp.asarray(maskext_host)
-        fs = jnp.transpose(f.reshape(NSPEEDS, ny, px, bx), (2, 0, 1, 3))
-        fs = jnp.concatenate(
-            [fs, jnp.zeros((px, NSPEEDS, ny, _XT_PAD), jnp.float32)], axis=3
-        )
+    def ghosts_of(fs):
+        """Ghost/edge carry slots derived from a padded strip state —
+        shared by ``init`` (traced) and ``from_f_host`` (eager; each
+        expression is a separate eager op, so every slot owns a distinct
+        device buffer — the double-donation invariant)."""
         gs = jnp.stack(
             [
                 jnp.transpose(fs[:, :, rows, :], (0, 2, 1, 3))
@@ -1387,7 +1414,16 @@ def build_temporal_xtiled_program(
         )
         xe = jnp.roll(fs[:, :, :, bx - edge : bx], 1, axis=0)
         xw = jnp.roll(fs[:, :, :, :edge], -1, axis=0)
-        return (fs, gs, gn, xe, xw, maskext)
+        return gs, gn, xe, xw
+
+    def init(f, maskext=None):
+        if maskext is None:
+            maskext = jnp.asarray(maskext_host)
+        fs = jnp.transpose(f.reshape(NSPEEDS, ny, px, bx), (2, 0, 1, 3))
+        fs = jnp.concatenate(
+            [fs, jnp.zeros((px, NSPEEDS, ny, _XT_PAD), jnp.float32)], axis=3
+        )
+        return (fs, *ghosts_of(fs), maskext)
 
     def init0(maskext=None):
         """Carry for the canonical uniform state, built by broadcast — no
@@ -1474,6 +1510,27 @@ def build_temporal_xtiled_program(
         raw = jnp.stack([ux, uy, rho - density], axis=1).astype(jnp.float16)
         return jnp.transpose(raw, (1, 2, 0, 3)).reshape(3, ny, nx)
 
+    def to_f_host(carry):
+        """Fetch the strip state and un-tile on the HOST — the device-side
+        ``final()`` transpose would hold both layouts at once (the
+        giant-grid checkpoint OOM; see CheckpointIO)."""
+        fs = np.asarray(jax.device_get(carry[0]))[:, :, :, :bx]
+        return np.ascontiguousarray(
+            fs.transpose(1, 2, 0, 3).reshape(NSPEEDS, ny, nx)
+        )
+
+    def from_f_host(f):
+        """Host-side strip relayout + eager device ghost construction.
+        Device peak: the padded fs plus the (small) ghost slots — never
+        f and fs together (``init`` on device would; ~19 GiB at 16384²)."""
+        f = np.asarray(f, dtype=np.float32)
+        fs_host = np.zeros((px, NSPEEDS, ny, w), np.float32)
+        fs_host[:, :, :, :bx] = f.reshape(NSPEEDS, ny, px, bx).transpose(
+            2, 0, 1, 3
+        )
+        fs = jnp.asarray(fs_host)
+        return (fs, *ghosts_of(fs), jnp.asarray(maskext_host))
+
     return StepProgram(
         init=init,
         step=step,
@@ -1482,6 +1539,9 @@ def build_temporal_xtiled_program(
         consts=(maskext_host,),
         init0=init0,
         final_fields=final_fields,
+        checkpoint_io=CheckpointIO(
+            to_f_host=to_f_host, from_f_host=from_f_host
+        ),
     )
 
 

@@ -603,6 +603,24 @@ class Simulator:
         """
         if max_iters is None:
             max_iters = self.params.max_iters
+        # Giant grids: the f-interchange segments below ride the
+        # state-shaped program (~3x f's bytes on device — OOM at
+        # >= 12288^2).  When the schedule provides carry<->f host
+        # conversion, keep the CARRY resident between segments instead;
+        # snapshots stay in the portable f-format .npz.
+        if not state_readback_fits(self.params.ny, self.params.nx):
+            program = make_program(
+                self.params,
+                self.obstacles,
+                self.free_cells_inv,
+                self.kernel,
+                max_iters=min(every, max_iters) or None,
+                device_kind=self.device.device_kind,
+            )
+            if program.checkpoint_io is not None:
+                return self._run_checkpointed_carry(
+                    program, checkpoint_dir, every, max_iters, resume
+                )
         f, av, elapsed, executed = run_segments_checkpointed(
             # Device readback: f stays on-chip between segments; the v1
             # save gathers it once per snapshot (np.asarray inside save).
@@ -635,6 +653,126 @@ class Simulator:
             steps_per_pass=(
                 self.chunk(min(every, executed)) if executed else 1
             ),
+        )
+
+    def _run_checkpointed_carry(
+        self,
+        program,
+        checkpoint_dir: str,
+        every: int,
+        max_iters: int,
+        resume: bool,
+    ) -> RunResult:
+        """Carry-resident checkpointed segments for giant grids.
+
+        The scan carry (the x-tiled strip state) stays on device between
+        segments — donated through each compiled segment, so the steady
+        footprint is one carry (~1.06x f) instead of the f-interchange
+        path's ~3x f.  Snapshots and resume convert carry <-> f on the
+        HOST via ``program.checkpoint_io`` (portable v1 ``.npz``
+        f-format: interchangeable with checkpoints from every other
+        kernel and the sharded per-shard driver).
+        """
+        import types
+
+        from lbm_tpu import checkpoint as ckpt
+
+        io = program.checkpoint_io
+        k = program.chunk
+        sharding = jax.sharding.SingleDeviceSharding(self.device)
+        exes: dict[int, Any] = {}
+
+        def seg_exe(seg: int):
+            if seg % k != 0:
+                raise ValueError(
+                    f"checkpoint segment of {seg} steps is not a multiple "
+                    f"of the giant-grid schedule's {k}-step chunk; choose "
+                    f"`every` (and max_iters) as multiples of {k}"
+                )
+            if seg not in exes:
+
+                @functools.partial(
+                    jax.jit, donate_argnums=0, out_shardings=sharding
+                )
+                def run_scan(carry):
+                    def body(c, _):
+                        c, av = program.step(c)
+                        return c, av
+
+                    carry, av = jax.lax.scan(
+                        body, carry, None, length=seg // k
+                    )
+                    return carry, (av.reshape(seg) if k > 1 else av)
+
+                specs = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        x.shape, x.dtype, sharding=sharding
+                    ),
+                    jax.eval_shape(program.init0),
+                )
+                exes[seg] = run_scan.lower(specs).compile()
+            return exes[seg]
+
+        def fresh_carry():
+            # EAGER init0: every carry slot owns a distinct buffer, so
+            # donating the carry into the segment executable is safe (a
+            # jitted init0 would CSE the duplicate ghost broadcasts back
+            # into one buffer — the double-donation dispatch rejection).
+            mask_dev = jax.device_put(
+                np.asarray(program.consts[0]), self.device
+            )
+            return program.init0(mask_dev)
+
+        def run_segment(seg, c0):
+            if c0 is None:
+                carry = fresh_carry()
+            elif isinstance(c0, np.ndarray):  # resumed snapshot (host f)
+                carry = io.from_f_host(c0)
+            else:  # previous segment's on-device carry
+                carry = c0
+            carry, av = seg_exe(seg)(carry)
+            return types.SimpleNamespace(
+                f=carry, av_vels=np.asarray(jax.device_get(av))
+            )
+
+        last_snap: dict[str, Any] = {}
+
+        def save_carry(dirname, params, obstacles, step, carry, av):
+            f_host = io.to_f_host(carry)
+            # The driver always snapshots after the last segment, so the
+            # final RunResult.f can reuse this host copy instead of
+            # re-fetching the multi-GiB carry through the host link.
+            last_snap["step"], last_snap["f"] = step, f_host
+            ckpt.save(dirname, params, obstacles, step, f_host, av)
+
+        state, av, elapsed, executed = run_segments_checkpointed(
+            run_segment=run_segment,
+            precompile=seg_exe,
+            params=self.params,
+            obstacles=self.obstacles,
+            checkpoint_dir=checkpoint_dir,
+            every=every,
+            max_iters=max_iters,
+            resume=resume,
+            save_fn=save_carry,
+        )
+        if state is None:  # max_iters == 0 and nothing checkpointed
+            f_host = io.to_f_host(fresh_carry())
+        elif isinstance(state, np.ndarray):  # resume found a complete run
+            f_host = state
+        elif last_snap.get("step") == max_iters:
+            f_host = last_snap["f"]
+        else:
+            f_host = io.to_f_host(state)
+        return RunResult(
+            params=dataclasses.replace(self.params, max_iters=max_iters),
+            f=f_host,
+            av_vels=av,
+            obstacles=self.obstacles,
+            free_cells_inv=float(self.free_cells_inv),
+            elapsed=elapsed,
+            steps_timed=executed,
+            steps_per_pass=k,
         )
 
 

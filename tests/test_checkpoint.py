@@ -307,3 +307,72 @@ def test_checkpoint_beyond_max_iters(tmp_path):
 
 def test_load_missing_returns_none(tmp_path):
     assert ckpt.load(tmp_path) is None
+
+
+# -- giant-grid carry-resident checkpointing ---------------------------------
+#
+# The real trigger is a grid where state readback exceeds HBM
+# (>= 12288^2); the machinery is exercised here on an interpret-mode
+# x-tiled miniature by shrinking the HBM budget to zero and routing
+# make_program to the miniature schedule.
+
+
+def _xtiled_carry_setup(monkeypatch):
+    import jax
+
+    from lbm_tpu import runtime
+    from lbm_tpu.geometry import free_cells_of
+    from lbm_tpu.ops.fused import build_temporal_xtiled_program
+    from lbm_tpu.ops.reference import init_cells, make_step_fn
+
+    params = LBMParams(64, 16, 8, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(64, 16, interior_row=9)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    prog = build_temporal_xtiled_program(
+        params, obstacles, fcinv, by=4, ksteps=2, px=4, interpret=True
+    )
+    monkeypatch.setattr(runtime, "_HBM_BUDGET_GIB", 0.0)
+    monkeypatch.setattr(runtime, "make_program", lambda *a, **k: prog)
+
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    f = init_cells(params)
+    avs = []
+    for _ in range(8):
+        f, av = ref(f)
+        avs.append(float(av))
+    return params, obstacles, np.asarray(f), np.asarray(avs)
+
+
+def test_giant_grid_carry_checkpoint_matches_reference(tmp_path, monkeypatch):
+    """The carry-resident segment driver (selected when state readback
+    cannot fit HBM and the schedule provides checkpoint_io) must
+    reproduce the jnp reference run and leave resumable f-format
+    snapshots."""
+    params, obstacles, f_ref, avs_ref = _xtiled_carry_setup(monkeypatch)
+    sim = Simulator(params, obstacles, kernel="fused")
+    res = sim.run_checkpointed(tmp_path, every=4)
+    assert res.steps_per_pass == 2  # the x-tiled chunk, proving the path
+    np.testing.assert_allclose(res.av_vels, avs_ref, rtol=1e-5)
+    np.testing.assert_allclose(res.f, f_ref, rtol=1e-5, atol=1e-9)
+    saved = ckpt.load(tmp_path)
+    assert saved.step == 8 and saved.f.shape == (9, 16, 64)
+
+
+def test_giant_grid_carry_checkpoint_resume_bitexact(tmp_path, monkeypatch):
+    """Crash after one segment, resume: the host f<->carry roundtrip must
+    continue bit-exactly (dead pad lanes are the only carry difference,
+    and owned outputs never read them — same argument as init0 vs
+    init)."""
+    params, obstacles, _, _ = _xtiled_carry_setup(monkeypatch)
+    cont = Simulator(params, obstacles, kernel="fused").run_checkpointed(
+        tmp_path / "cont", every=4
+    )
+    sim = Simulator(params, obstacles, kernel="fused")
+    sim.run_checkpointed(tmp_path / "res", every=4, max_iters=4)  # "crash"
+    assert ckpt.load(tmp_path / "res").step == 4
+    res = Simulator(params, obstacles, kernel="fused").run_checkpointed(
+        tmp_path / "res", every=4
+    )
+    assert res.steps_timed == 4  # only the post-crash half ran
+    np.testing.assert_array_equal(cont.f, res.f)
+    np.testing.assert_array_equal(cont.av_vels, res.av_vels)
