@@ -133,6 +133,16 @@ class StepProgram:
     # between segments (fine wherever ``state_readback_fits``).
     checkpoint_io: "CheckpointIO | None" = None
 
+    def single(self) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
+        """Collapse to a plain ``f -> (f', av)`` one-step function (consts
+        embedded — fine at the sizes this convenience path is used at)."""
+
+        def fn(f: jax.Array) -> tuple[jax.Array, jax.Array]:
+            carry, av = self.step(self.init(f))
+            return self.final(carry), av
+
+        return fn
+
 
 @dataclasses.dataclass
 class CheckpointIO:
@@ -153,16 +163,6 @@ class CheckpointIO:
 
     to_f_host: Callable[[Any], np.ndarray]
     from_f_host: Callable[[np.ndarray], Any]
-
-    def single(self) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
-        """Collapse to a plain ``f -> (f', av)`` one-step function (consts
-        embedded — fine at the sizes this convenience path is used at)."""
-
-        def fn(f: jax.Array) -> tuple[jax.Array, jax.Array]:
-            carry, av = self.step(self.init(f))
-            return self.final(carry), av
-
-        return fn
 
 
 def choose_block_rows(ny: int, nx: int) -> int | None:

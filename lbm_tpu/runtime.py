@@ -65,11 +65,33 @@ _STATE_READBACK_PEAK_FACTOR = 3.2
 _HBM_BUDGET_GIB = 15.0
 
 
+def hbm_budget_gib(device: jax.Device | None = None) -> float:
+    """HBM budget for the state-readback predicate.  Precedence:
+    ``LBM_HBM_GIB`` env override > the device's reported
+    ``memory_stats()['bytes_limit']`` (scaled by the same 15/16 headroom
+    as the default) > the v5e-measured default.  Both the axon tunnel
+    and the CPU backend report no memory stats, so the default governs
+    there; devices with more HBM that do report it get a correctly
+    larger budget instead of a spurious giant-grid downgrade."""
+    env = os.environ.get("LBM_HBM_GIB")
+    if env:
+        return float(env)
+    try:
+        stats = device.memory_stats() if device is not None else None
+    except Exception:
+        stats = None
+    limit = (stats or {}).get("bytes_limit")
+    if limit:
+        return limit / 2**30 * (15.0 / 16.0)
+    return _HBM_BUDGET_GIB
+
+
 def state_readback_fits(
     ny: int, nx: int, budget_gib: float | None = None
 ) -> bool:
     """Whether the full-state readback program's peak HBM footprint is
-    expected to fit (see the factor's derivation above)."""
+    expected to fit (see the factor's derivation above).  Pass
+    ``hbm_budget_gib(device)`` when a device is at hand."""
     if budget_gib is None:
         budget_gib = _HBM_BUDGET_GIB
     f_gib = 9 * ny * nx * 4 / 2**30
@@ -283,6 +305,11 @@ class Simulator:
         self._compiled: dict[tuple[int, str, bool], Any] = {}
         self._chunks: dict[int, int] = {}
         self._init_compiled: Any = None
+        # Giant-grid checkpoint caches: StepProgram per segment-length
+        # key, and per-program carry-segment executables (see
+        # _run_checkpointed_carry).
+        self._ckpt_programs: dict[int | None, Any] = {}
+        self._carry_exes: dict[int, dict[int, Any]] = {}
 
     # -- compiled program ---------------------------------------------------
 
@@ -395,7 +422,7 @@ class Simulator:
         if readback == "device":
             readback = "state"
         if readback == "state" and not state_readback_fits(
-            self.params.ny, self.params.nx
+            self.params.ny, self.params.nx, hbm_budget_gib(self.device)
         ):
             import warnings
 
@@ -608,15 +635,21 @@ class Simulator:
         # >= 12288^2).  When the schedule provides carry<->f host
         # conversion, keep the CARRY resident between segments instead;
         # snapshots stay in the portable f-format .npz.
-        if not state_readback_fits(self.params.ny, self.params.nx):
-            program = make_program(
-                self.params,
-                self.obstacles,
-                self.free_cells_inv,
-                self.kernel,
-                max_iters=min(every, max_iters) or None,
-                device_kind=self.device.device_kind,
-            )
+        if not state_readback_fits(
+            self.params.ny, self.params.nx, hbm_budget_gib(self.device)
+        ):
+            pkey = min(every, max_iters) or None
+            program = self._ckpt_programs.get(pkey)
+            if program is None:
+                program = make_program(
+                    self.params,
+                    self.obstacles,
+                    self.free_cells_inv,
+                    self.kernel,
+                    max_iters=pkey,
+                    device_kind=self.device.device_kind,
+                )
+                self._ckpt_programs[pkey] = program
             if program.checkpoint_io is not None:
                 return self._run_checkpointed_carry(
                     program, checkpoint_dir, every, max_iters, resume
@@ -680,14 +713,23 @@ class Simulator:
         io = program.checkpoint_io
         k = program.chunk
         sharding = jax.sharding.SingleDeviceSharding(self.device)
-        exes: dict[int, Any] = {}
+        # Instance-level executable cache: the crash-then-resume pattern
+        # calls run_checkpointed twice on one Simulator, and a giant-grid
+        # segment compile costs minutes through the remote service.  The
+        # program objects are themselves cached in self._ckpt_programs,
+        # so id() keys stay live and unique.
+        exes: dict[int, Any] = self._carry_exes.setdefault(id(program), {})
 
         def seg_exe(seg: int):
             if seg % k != 0:
                 raise ValueError(
-                    f"checkpoint segment of {seg} steps is not a multiple "
-                    f"of the giant-grid schedule's {k}-step chunk; choose "
-                    f"`every` (and max_iters) as multiples of {k}"
+                    f"carry-resident checkpoint segments must be multiples "
+                    f"of the giant-grid schedule's {k}-step chunk, got a "
+                    f"{seg}-step segment.  It comes from `every`, the "
+                    f"remainder to max_iters, or the tail after resuming a "
+                    f"checkpoint whose step offset is not {k}-aligned (a "
+                    f"snapshot written by a different kernel/driver) — "
+                    f"align all three to {k}"
                 )
             if seg not in exes:
 

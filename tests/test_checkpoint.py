@@ -370,9 +370,12 @@ def test_giant_grid_carry_checkpoint_resume_bitexact(tmp_path, monkeypatch):
     sim = Simulator(params, obstacles, kernel="fused")
     sim.run_checkpointed(tmp_path / "res", every=4, max_iters=4)  # "crash"
     assert ckpt.load(tmp_path / "res").step == 4
-    res = Simulator(params, obstacles, kernel="fused").run_checkpointed(
-        tmp_path / "res", every=4
-    )
+    res = sim.run_checkpointed(tmp_path / "res", every=4)
     assert res.steps_timed == 4  # only the post-crash half ran
+    # The segment executable is cached across run_checkpointed calls on
+    # one Simulator (a giant-grid compile costs minutes): one program
+    # entry, one 4-step executable, reused by the resume.
+    assert len(sim._carry_exes) == 1
+    assert set(next(iter(sim._carry_exes.values()))) == {4}
     np.testing.assert_array_equal(cont.f, res.f)
     np.testing.assert_array_equal(cont.av_vels, res.av_vels)
