@@ -548,6 +548,13 @@ def test_giant_grid_state_readback_warns(monkeypatch):
     assert state_readback_fits(8192, 8192)
     assert not state_readback_fits(12288, 12288)
     assert not state_readback_fits(16384, 16384)
+    # LBM_HBM_GIB overrides the budget chain (bigger-HBM devices).
+    monkeypatch.setenv("LBM_HBM_GIB", "64")
+    assert state_readback_fits(12288, 12288, runtime.hbm_budget_gib())
+    monkeypatch.delenv("LBM_HBM_GIB")
+    assert not state_readback_fits(
+        12288, 12288, runtime.hbm_budget_gib()
+    )
     # fields mode is exempt (its device payload is 3 fp16 planes):
     # exercise the wiring on a tiny grid by shrinking the budget.
     params = dataclasses.replace(CANONICAL_PARAMS["128x128"], max_iters=4)
