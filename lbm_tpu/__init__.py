@@ -33,6 +33,7 @@ from lbm_tpu.parallel.sharded import (
 from lbm_tpu.runtime import (
     RunResult,
     Simulator,
+    hbm_budget_gib,
     select_device,
     state_readback_fits,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "default_mesh",
     "default_mesh_2d",
     "free_cells_of",
+    "hbm_budget_gib",
     "load_obstacle_file",
     "read_av_vels",
     "read_final_state",
