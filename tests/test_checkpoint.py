@@ -379,3 +379,27 @@ def test_giant_grid_carry_checkpoint_resume_bitexact(tmp_path, monkeypatch):
     assert set(next(iter(sim._carry_exes.values()))) == {4}
     np.testing.assert_array_equal(cont.f, res.f)
     np.testing.assert_array_equal(cont.av_vels, res.av_vels)
+
+
+def test_giant_grid_carry_checkpoint_rejects_misaligned_resume(
+    tmp_path, monkeypatch
+):
+    """A foreign checkpoint at a step offset that is not K-aligned leaves
+    a tail the K-step-chunk schedule cannot reach; the error must name
+    the resume-offset cause (review finding: the old message blamed
+    `every`/max_iters, which can both be aligned)."""
+    from lbm_tpu.ops.reference import init_cells
+
+    params, obstacles, _, _ = _xtiled_carry_setup(monkeypatch)  # K = 2
+    ckpt.save(
+        tmp_path,
+        params,
+        obstacles,
+        3,  # not a multiple of K=2
+        np.asarray(init_cells(params)),
+        np.zeros(3, np.float32),
+    )
+    with pytest.raises(ValueError, match="resuming a checkpoint"):
+        Simulator(params, obstacles, kernel="fused").run_checkpointed(
+            tmp_path, every=4
+        )
