@@ -489,3 +489,58 @@ def test_fallback_on_odd_grid():
     f = init_cells(params)
     f2, av = jax.jit(step)(f)
     assert np.isfinite(np.asarray(f2)).all()
+
+
+def test_simulator_fields_readback_uses_final_fields(monkeypatch):
+    """The runtime's fields-readback branch must route through
+    final_fields when the program provides it (the giant-grid path is
+    exercised here end-to-end on an interpret miniature: Simulator.run
+    -> _build emit -> per-strip payload -> expand_fields)."""
+    import dataclasses
+
+    from lbm_tpu import runtime
+    from lbm_tpu.ops.fused import build_temporal_xtiled_program
+    from lbm_tpu.runtime import Simulator
+
+    params = LBMParams(64, 16, 8, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(64, 16, interior_row=9)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    prog = build_temporal_xtiled_program(
+        params, obstacles, fcinv, by=4, ksteps=2, px=4, interpret=True
+    )
+    calls = []
+    orig = prog.final_fields
+
+    def spy(carry):
+        calls.append(1)
+        return orig(carry)
+
+    object.__setattr__(prog, "final_fields", spy)  # frozen dataclass
+    monkeypatch.setattr(runtime, "make_program", lambda *a, **k: prog)
+    sim = Simulator(params, obstacles, kernel="fused")
+    res = sim.run(readback="fields")
+    assert calls, "final_fields was not routed by the fields readback"
+    assert res.fields is not None and res.f is None
+    # Against the jnp reference driven through the same readback.
+    ref = Simulator(params, obstacles, kernel="reference").run(
+        readback="fields"
+    )
+    np.testing.assert_allclose(res.fields, ref.fields, rtol=2e-3, atol=1e-6)
+
+
+def test_xtiled_checkpoint_io_roundtrip_random():
+    """from_f_host -> to_f_host must be a bitwise identity on arbitrary
+    f (pure relayout, no arithmetic) — the property the portable
+    f-format snapshots rely on."""
+    from lbm_tpu.ops.fused import build_temporal_xtiled_program
+
+    rng = np.random.default_rng(3)
+    params = LBMParams(64, 16, 8, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(64, 16)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    prog = build_temporal_xtiled_program(
+        params, obstacles, fcinv, by=4, ksteps=2, px=4, interpret=True
+    )
+    f = rng.standard_normal((9, 16, 64)).astype(np.float32)
+    io = prog.checkpoint_io
+    np.testing.assert_array_equal(io.to_f_host(io.from_f_host(f)), f)
