@@ -505,6 +505,12 @@ def test_simulator_fields_readback_uses_final_fields(monkeypatch):
     params = LBMParams(64, 16, 8, 10, 0.1, 0.01, 1.85)
     obstacles = channel_box(64, 16, interior_row=9)
     fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    # The genuinely-jnp reference run happens BEFORE the monkeypatch —
+    # with it active, the "reference" Simulator would route through the
+    # same x-tiled program and the comparison would be vacuous.
+    ref = Simulator(params, obstacles, kernel="reference").run(
+        readback="fields"
+    )
     prog = build_temporal_xtiled_program(
         params, obstacles, fcinv, by=4, ksteps=2, px=4, interpret=True
     )
@@ -521,10 +527,6 @@ def test_simulator_fields_readback_uses_final_fields(monkeypatch):
     res = sim.run(readback="fields")
     assert calls, "final_fields was not routed by the fields readback"
     assert res.fields is not None and res.f is None
-    # Against the jnp reference driven through the same readback.
-    ref = Simulator(params, obstacles, kernel="reference").run(
-        readback="fields"
-    )
     np.testing.assert_allclose(res.fields, ref.fields, rtol=2e-3, atol=1e-6)
 
 
