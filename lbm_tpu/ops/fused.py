@@ -1520,12 +1520,15 @@ def build_temporal_xtiled_program(
         probe), the un-tiling lands each strip directly in the output
         (no second host copy of the padded fs), and the per-strip device
         slice is a ~1/px transient instead of none — a fine trade at
-        ~1 GiB against 16 GiB."""
+        ~1 GiB against 16 GiB.  The pad lanes are sliced off ON DEVICE:
+        fetching them would move w/bx (6.25% at bx=2048) dead bytes
+        through the same slow link this path exists to feed."""
         out = np.empty((NSPEEDS, ny, nx), np.float32)
         fs = carry[0]
         for s in range(px):
-            strip = np.asarray(jax.device_get(fs[s]))[:, :, :bx]
-            out[:, :, s * bx : (s + 1) * bx] = strip
+            out[:, :, s * bx : (s + 1) * bx] = np.asarray(
+                jax.device_get(fs[s, :, :, :bx])
+            )
         return out
 
     def from_f_host(f):

@@ -24,34 +24,56 @@ Expected (16 GiB v5e via the axon tunnel; docs/PERF.md): ~20 GLUPS at
 from __future__ import annotations
 
 import argparse
+import pathlib
 import sys
 import time
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-def _setup(n: int):
+
+def _setup(n: int, steps: int):
+    """The canonical giant-grid case (1024²-style physics at size n).
+
+    Single source of the params so the kernel/fields/ckpt phases cannot
+    drift apart and silently validate different physics.
+    """
     from lbm_tpu.config import LBMParams
     from lbm_tpu.geometry import channel_box
 
-    params = LBMParams(n, n, 384, 10, 0.1, 0.01, 1.85)
+    params = LBMParams(n, n, steps, 10, 0.1, 0.01, 1.85)
     return params, channel_box(n, n)
 
 
 def cmd_kernel(n: int, steps: int) -> int:
-    from lbm_tpu.geometry import channel_box
-    from lbm_tpu.config import LBMParams
     from lbm_tpu.tuning import time_temporal_candidate
 
-    params = LBMParams(n, n, steps, 10, 0.1, 0.01, 1.85)
+    k = 4
+    if steps % k:
+        # time_temporal_candidate executes steps//k * k steps but divides
+        # elapsed by `steps`; a non-multiple would inflate GLUPS right at
+        # the pass/fail boundary.  Round down and time what actually runs.
+        print(f"note: --steps {steps} rounded down to {steps - steps % k} "
+              f"(multiple of K={k})")
+        steps -= steps % k
+    if steps == 0:
+        print(f"FAIL kernel {n}^2: --steps must be >= {k}")
+        return 1
+    params, obstacles = _setup(n, steps)
     px = max(2, n // 2048)
     us = time_temporal_candidate(
-        params, channel_box(n, n), by=128, k=4, steps=steps, repeats=2, px=px
+        params, obstacles, by=128, k=k, steps=steps, repeats=2, px=px
     )
     if us is None:
         print(f"FAIL kernel {n}^2: no timing (see log above)")
         return 1
     glups = n * n / us / 1e3
-    print(f"PASS kernel {n}^2 (128,4,Px={px}): {us:.1f} us/step = {glups:.1f} GLUPS")
-    return 0 if glups > 15 else 1
+    ok = glups > 15
+    print(
+        f"{'PASS' if ok else 'FAIL'} kernel {n}^2 (128,{k},Px={px}): "
+        f"{us:.1f} us/step = {glups:.1f} GLUPS"
+        + ("" if ok else " (< 15 GLUPS threshold)")
+    )
+    return 0 if ok else 1
 
 
 def cmd_fields(n: int, steps: int) -> int:
@@ -59,10 +81,7 @@ def cmd_fields(n: int, steps: int) -> int:
 
     from lbm_tpu.runtime import Simulator
 
-    params, obstacles = _setup(n)
-    import dataclasses
-
-    params = dataclasses.replace(params, max_iters=steps)
+    params, obstacles = _setup(n, steps)
     sim = Simulator(params, obstacles, kernel="auto")
     t0 = time.time()
     sim.compiled(readback="fields")
@@ -77,18 +96,44 @@ def cmd_fields(n: int, steps: int) -> int:
     return 0 if ok else 1
 
 
+def _has_checkpoint(ckpt_dir: str) -> bool:
+    return any(pathlib.Path(ckpt_dir).glob("lbm_checkpoint*"))
+
+
 def cmd_ckpt(n: int, steps: int, resume: bool, ckpt_dir: str) -> int:
     import numpy as np
 
     from lbm_tpu.runtime import Simulator
 
-    params, obstacles = _setup(n)
-    sim = Simulator(params, obstacles, kernel="auto")
+    # run_checkpointed auto-resumes from whatever the directory holds, so
+    # each phase must check the directory state or it validates nothing:
+    # a fresh run on a left-over snapshot does ZERO device steps (or dies
+    # on the beyond-max_iters guard) yet would print PASS, and --resume
+    # on an empty directory runs 2*steps from scratch without ever
+    # exercising the host f<->carry resume path.
+    if not resume and _has_checkpoint(ckpt_dir):
+        print(
+            f"FAIL ckpt-fresh {n}^2: {ckpt_dir} already holds a "
+            f"checkpoint — delete it (rm -r {ckpt_dir}) or pass --resume"
+        )
+        return 1
+    if resume and not _has_checkpoint(ckpt_dir):
+        print(
+            f"FAIL ckpt-resume {n}^2: no checkpoint in {ckpt_dir} — run "
+            f"the fresh phase first"
+        )
+        return 1
     total = 2 * steps if resume else steps
+    params, obstacles = _setup(n, total)
+    sim = Simulator(params, obstacles, kernel="auto")
     t0 = time.time()
     res = sim.run_checkpointed(ckpt_dir, every=steps, max_iters=total)
     av = np.asarray(res.av_vels)
     ok = bool(np.isfinite(av).all()) and len(av) == total
+    # The resume phase must have actually resumed: a 2*steps run that
+    # loaded the step-`steps` snapshot times only the second segment.
+    if resume and res.steps_timed != steps:
+        ok = False
     phase = "resume" if resume else "fresh"
     print(
         f"{'PASS' if ok else 'FAIL'} ckpt-{phase} {n}^2: "
