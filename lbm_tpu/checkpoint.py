@@ -68,6 +68,21 @@ class Checkpoint:
             raise ValueError("checkpoint obstacle mask differs from this run's")
 
 
+def _av_prefix(av_vels, step: int) -> np.ndarray:
+    """The av entries the snapshot commits.  Every step up to the
+    committed one must have its entry — writing a shorter stream would
+    make a later resume concatenate a short prefix and silently shift
+    av rows off their timestep."""
+    av = np.asarray(av_vels, np.float32)
+    if av.shape[0] < step:
+        raise ValueError(
+            f"av_vels has {av.shape[0]} entries but the checkpoint "
+            f"commits step {step} — refusing to write an inconsistent "
+            "snapshot"
+        )
+    return av[:step]
+
+
 def save(
     directory: str | pathlib.Path,
     params: LBMParams,
@@ -77,6 +92,7 @@ def save(
     av_vels: np.ndarray,
 ) -> pathlib.Path:
     """Atomically write a checkpoint into ``directory``."""
+    av = _av_prefix(av_vels, int(step))
     directory = pathlib.Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     path = directory / FILENAME
@@ -94,7 +110,7 @@ def save(
             fp,
             header=np.frombuffer(header.encode(), dtype=np.uint8),
             f=np.asarray(f, np.float32),
-            av_vels=np.asarray(av_vels[: int(step)], np.float32),
+            av_vels=av,
         )
     tmp.replace(path)
     # A stale v2 meta alongside would shadow this snapshot (load() prefers
@@ -124,6 +140,7 @@ def save_sharded(
     directory = pathlib.Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     step = int(step)
+    av = _av_prefix(av_vels, step)  # validate before any file is written
     # Dedupe replicated shards by their global offset (a fully-replicated
     # dim yields the same slab on every device of that mesh axis).  The
     # membership check comes FIRST: np.asarray(s.data) is a device fetch,
@@ -154,7 +171,7 @@ def save_sharded(
         )
     av_tmp = directory / (AV_FILENAME + ".tmp")
     with open(av_tmp, "wb") as fp:
-        np.savez(fp, av_vels=np.asarray(av_vels[:step], np.float32))
+        np.savez(fp, av_vels=av)
     av_tmp.replace(directory / AV_FILENAME)
     meta = {
         "version": 2,
@@ -238,10 +255,21 @@ def load(directory: str | pathlib.Path) -> Checkpoint | None:
         header = json.loads(bytes(data["header"]).decode())
         if header.get("version") != 1:
             raise ValueError(f"unsupported checkpoint version in {path}")
+        step = int(header["step"])
+        av = data["av_vels"]
+        # Same contract as the v2 loader: every step up to the committed
+        # one must have its av entry, or a resume would concatenate a
+        # short prefix and silently shift later rows off their timestep.
+        if av.shape[0] < step:
+            raise ValueError(
+                f"checkpoint av stream has {av.shape[0]} entries but "
+                f"commits step {step} ({path} is corrupt or from "
+                "another run)"
+            )
         return Checkpoint(
             params=LBMParams(**header["params"]),
-            step=int(header["step"]),
+            step=step,
             f=data["f"],
-            av_vels=data["av_vels"],
+            av_vels=av[:step],
             mask_digest=header["mask_digest"],
         )

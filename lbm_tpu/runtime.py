@@ -91,9 +91,10 @@ def state_readback_fits(
 ) -> bool:
     """Whether the full-state readback program's peak HBM footprint is
     expected to fit (see the factor's derivation above).  Pass
-    ``hbm_budget_gib(device)`` when a device is at hand."""
+    ``hbm_budget_gib(device)`` when a device is at hand; the bare
+    default still honors the ``LBM_HBM_GIB`` override."""
     if budget_gib is None:
-        budget_gib = _HBM_BUDGET_GIB
+        budget_gib = hbm_budget_gib()
     f_gib = 9 * ny * nx * 4 / 2**30
     return _STATE_READBACK_PEAK_FACTOR * f_gib <= budget_gib
 
@@ -561,6 +562,12 @@ class Simulator:
         ~1/6 of the transfer bytes (encoding + error bounds:
         :func:`raw_fields_fn`); |u|/pressure are reconstructed on host
         after the timer stops.
+
+        A device-resident ``f0`` is DONATED to the compiled program (the
+        run updates f in place, so the caller's buffer is consumed —
+        reusing it afterwards raises "Array has been deleted"; pass
+        ``jnp.copy(f0)`` to keep a live copy).  Host-side ``f0`` arrays
+        are copied on upload and stay valid.
         """
         if max_iters is None:
             max_iters = self.params.max_iters
@@ -569,7 +576,16 @@ class Simulator:
         fn = self.compiled(max_iters, readback=readback, from_f0=from_f0)
         tic = time.perf_counter()
         if from_f0:
-            f = jax.device_put(jnp.asarray(f0, jnp.float32), self.device)
+            if isinstance(f0, jax.Array):
+                if f0.dtype != jnp.float32:
+                    f0 = f0.astype(jnp.float32)
+                f = jax.device_put(f0, self.device)
+            else:
+                # Direct host->device upload.  jnp.asarray first would
+                # materialize the array on the DEFAULT device and pay a
+                # second device-to-device copy when a non-default device
+                # is bound (f-sized: 2.25 GiB at 8192^2).
+                f = jax.device_put(np.asarray(f0, np.float32), self.device)
             out, av = fn(f)
         else:
             # Initialization is fused into the compiled program — the

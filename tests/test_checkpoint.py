@@ -309,6 +309,47 @@ def test_load_missing_returns_none(tmp_path):
     assert ckpt.load(tmp_path) is None
 
 
+def test_save_rejects_short_av(tmp_path):
+    """An av stream shorter than the committed step would shift later av
+    rows off their timestep on resume — both writers must refuse."""
+    import jax.numpy as jnp
+
+    obs = channel_box(64, 32)
+    f = np.zeros((9, 64, 32), np.float32)
+    short_av = np.zeros(5, np.float32)
+    with pytest.raises(ValueError, match="av_vels has 5"):
+        ckpt.save(tmp_path, PARAMS, obs, 10, f, short_av)
+    with pytest.raises(ValueError, match="av_vels has 5"):
+        ckpt.save_sharded(tmp_path, PARAMS, obs, 10, jnp.asarray(f), short_av)
+    assert ckpt.load(tmp_path) is None  # nothing committed
+
+
+def test_v1_load_rejects_short_av(tmp_path):
+    """A forged/corrupt v1 snapshot whose av stream is shorter than its
+    committed step must fail loudly, like the v2 loader does."""
+    import dataclasses as dc
+    import json
+
+    obs = channel_box(64, 32)
+    header = json.dumps(
+        {
+            "params": dc.asdict(PARAMS),
+            "step": 10,
+            "mask_digest": ckpt._mask_digest(obs),
+            "version": 1,
+        }
+    )
+    with open(tmp_path / ckpt.FILENAME, "wb") as fp:
+        np.savez(
+            fp,
+            header=np.frombuffer(header.encode(), dtype=np.uint8),
+            f=np.zeros((9, 64, 32), np.float32),
+            av_vels=np.zeros(5, np.float32),
+        )
+    with pytest.raises(ValueError, match="av stream has 5"):
+        ckpt.load(tmp_path)
+
+
 # -- giant-grid carry-resident checkpointing ---------------------------------
 #
 # The real trigger is a grid where state readback exceeds HBM

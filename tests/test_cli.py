@@ -548,9 +548,11 @@ def test_giant_grid_state_readback_warns(monkeypatch):
     assert state_readback_fits(8192, 8192)
     assert not state_readback_fits(12288, 12288)
     assert not state_readback_fits(16384, 16384)
-    # LBM_HBM_GIB overrides the budget chain (bigger-HBM devices).
+    # LBM_HBM_GIB overrides the budget chain (bigger-HBM devices) — both
+    # through an explicit hbm_budget_gib() and via the bare default.
     monkeypatch.setenv("LBM_HBM_GIB", "64")
     assert state_readback_fits(12288, 12288, runtime.hbm_budget_gib())
+    assert state_readback_fits(12288, 12288)
     monkeypatch.delenv("LBM_HBM_GIB")
     assert not state_readback_fits(
         12288, 12288, runtime.hbm_budget_gib()
