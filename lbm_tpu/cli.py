@@ -120,6 +120,8 @@ def cmd_run(args: argparse.Namespace) -> int:
     if args.mesh is not None and args.shards != 1:
         raise SystemExit("give either --shards N (1-D mesh) or --mesh "
                          "PYxPX (2-D mesh), not both")
+    if args.shards is not None and args.shards < 1:
+        raise SystemExit(f"--shards must be positive, got {args.shards}")
     sharded = args.mesh is not None or (args.shards and args.shards > 1)
     if sharded:
         # Flags the sharded path doesn't implement must fail loudly rather
@@ -263,6 +265,10 @@ def cmd_autotune(args: argparse.Namespace) -> int:
 
     if bool(args.case) == bool(args.grid):
         raise SystemExit("give exactly one of --case / --grid")
+    if args.steps < 1:
+        raise SystemExit(f"--steps must be >= 1, got {args.steps}")
+    if args.repeats < 1:
+        raise SystemExit(f"--repeats must be >= 1, got {args.repeats}")
     if args.case:
         params = CANONICAL_PARAMS[args.case]
         obstacles = canonical_obstacles(args.case)
@@ -377,7 +383,9 @@ def build_parser() -> argparse.ArgumentParser:
     bench = sub.add_parser("bench", help="timed run, JSON metric output")
     bench.add_argument("paramfile")
     bench.add_argument("obstaclefile")
-    bench.add_argument("--kernel", default="auto")
+    bench.add_argument("--kernel", default="auto",
+                       choices=["auto", "fused", "temporal", "mega",
+                                "reference"])
     bench.add_argument("--max-iters", type=int, default=None)
     # Best-of-4 by default: a fresh process's first dispatch pays transport
     # warmup on the tunneled TPU (see bench.py), so repeats=1 under-reports.

@@ -90,8 +90,7 @@ def _halo_exchange(f_loc: jax.Array, n_shards: int) -> tuple[jax.Array, jax.Arra
     """
     if n_shards == 1:
         return f_loc[:, -1:, :], f_loc[:, :1, :]
-    down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    down, up = _rings(n_shards)
     ghost_s = jax.lax.ppermute(f_loc[:, -1:, :], AXIS, down)
     ghost_n = jax.lax.ppermute(f_loc[:, :1, :], AXIS, up)
     return ghost_s, ghost_n
@@ -138,6 +137,56 @@ def _accelerate_masked(
     return jnp.stack(updates)
 
 
+def _rings(n: int) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """(down, up) neighbor pairs for a ring ``ppermute`` over an n-device
+    mesh axis — the single definition every sharded factory uses."""
+    down = [(i, (i + 1) % n) for i in range(n)]
+    up = [(i, (i - 1) % n) for i in range(n)]
+    return down, up
+
+
+def _patch_ghost_slots(gs, gn, axis: str, n: int, down, up):
+    """Cross-device ghost-slot patch shared by all four Pallas sharded
+    factories (1-D/2-D x fused/temporal).
+
+    Slot algebra (load-bearing — keep ONE definition): the local kernels
+    wrap ghosts block-cyclically, so after a pass slot 0's south ghost
+    holds the shard's OWN last row(s) — exactly what the next shard down
+    the ring needs — and the last slot's north ghost its OWN first
+    row(s).  One ``ppermute`` each way replaces those two slots with the
+    true neighbors' rows; interior slots are already correct.
+    """
+    if n == 1:
+        return gs, gn
+    p_loc = gs.shape[0]
+    recv_s = jax.lax.ppermute(gs[0], axis, down)
+    recv_n = jax.lax.ppermute(gn[p_loc - 1], axis, up)
+    gs = jnp.concatenate([recv_s[None], gs[1:]], axis=0)
+    gn = jnp.concatenate([gn[: p_loc - 1], recv_n[None]], axis=0)
+    return gs, gn
+
+
+def _ghost_seed_rows(
+    ny_loc: int, by: int, ksteps: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """In-slab row indices seeding each block's ghost slots, shape
+    ``[p_loc, ksteps]`` (block-cyclic wrap): slot i's south ghost holds
+    the ``ksteps`` rows above block i's first row, its north ghost the
+    ``ksteps`` rows below its last.  Fused kernels seed 1-row ghosts,
+    temporal kernels K-row slabs — same formula."""
+    p_loc = ny_loc // by
+    south = np.stack(
+        [np.arange(i * by - ksteps, i * by) % ny_loc for i in range(p_loc)]
+    ).astype(np.int32)
+    north = np.stack(
+        [
+            np.arange((i + 1) * by, (i + 1) * by + ksteps) % ny_loc
+            for i in range(p_loc)
+        ]
+    ).astype(np.int32)
+    return south, north
+
+
 def make_sharded_run(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -161,7 +210,6 @@ def make_sharded_run(
     omega = np.float32(params.omega)
     w1, w2 = accel_weights(params)
     fcinv = np.float32(free_cells_inv)
-    fluid_global = jnp.asarray(~np.asarray(obstacles, dtype=bool))
 
     def local_run(f_loc: jax.Array, fluid_loc: jax.Array):
         shard = jax.lax.axis_index(AXIS)
@@ -186,10 +234,24 @@ def make_sharded_run(
         out_specs=(P(None, AXIS, None), P()),
     )
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def run(f_global: jax.Array):
-        return sharded(f_global, fluid_global)
+    # The fluid mask enters as a runtime ARGUMENT (committed to the mesh
+    # here), never an HLO literal — an embedded giant-grid literal blows
+    # the remote compile service's request limit (see _LoweredWithConsts).
+    fluid_dev = jax.device_put(
+        ~np.asarray(obstacles, dtype=bool),
+        NamedSharding(mesh, P(AXIS, None)),
+    )
 
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_base(f_global: jax.Array, fluid: jax.Array):
+        return sharded(f_global, fluid)
+
+    def run(f_global: jax.Array):
+        return run_base(f_global, fluid_dev)
+
+    run.lower = lambda spec: _LoweredWithConsts(
+        run_base.lower(spec, fluid_dev), (fluid_dev,)
+    )
     return run
 
 
@@ -235,11 +297,8 @@ def make_sharded_2d_run(
     omega = np.float32(params.omega)
     w1, w2 = accel_weights(params)
     fcinv = np.float32(free_cells_inv)
-    fluid_global = jnp.asarray(~np.asarray(obstacles, dtype=bool))
-    ring_y = [(i, (i + 1) % py) for i in range(py)]
-    ring_y_up = [(i, (i - 1) % py) for i in range(py)]
-    ring_x = [(i, (i + 1) % px) for i in range(px)]
-    ring_x_up = [(i, (i - 1) % px) for i in range(px)]
+    ring_y, ring_y_up = _rings(py)
+    ring_x, ring_x_up = _rings(px)
 
     def local_run(f_loc: jax.Array, fluid_loc: jax.Array):
         yshard = jax.lax.axis_index(AXIS)
@@ -289,10 +348,22 @@ def make_sharded_2d_run(
         out_specs=(P(None, AXIS, AXIS_X), P()),
     )
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def run(f_global: jax.Array):
-        return sharded(f_global, fluid_global)
+    # Runtime operand, not an HLO literal — see make_sharded_run.
+    fluid_dev = jax.device_put(
+        ~np.asarray(obstacles, dtype=bool),
+        NamedSharding(mesh, P(AXIS, AXIS_X)),
+    )
 
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_base(f_global: jax.Array, fluid: jax.Array):
+        return sharded(f_global, fluid)
+
+    def run(f_global: jax.Array):
+        return run_base(f_global, fluid_dev)
+
+    run.lower = lambda spec: _LoweredWithConsts(
+        run_base.lower(spec, fluid_dev), (fluid_dev,)
+    )
     return run
 
 
@@ -333,10 +404,6 @@ def make_sharded_fused_run(
     p_loc = ny_loc // by
     w1, w2 = accel_weights(params)
     fcinv = np.float32(free_cells_inv)
-    # int8 mask: the blocked kernel streams it every step (see fused.py).
-    fluid_global = jnp.asarray(
-        (~np.asarray(obstacles, dtype=bool)).astype(np.int8)
-    )
     call = build_blocked_kernel(
         ny_loc,
         nx,
@@ -347,12 +414,8 @@ def make_sharded_fused_run(
         dynamic_accel_gate=True,
         interpret=interpret,
     )
-    down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    south_rows = np.array([(i * by - 1) % ny_loc for i in range(p_loc)], np.int32)
-    north_rows = np.array(
-        [((i + 1) * by) % ny_loc for i in range(p_loc)], np.int32
-    )
+    down, up = _rings(n_shards)
+    south_rows, north_rows = _ghost_seed_rows(ny_loc, by, 1)
 
     def local_run(f_loc: jax.Array, fluid_loc: jax.Array):
         shard = jax.lax.axis_index(AXIS)
@@ -360,24 +423,15 @@ def make_sharded_fused_run(
         # inside local program p_loc-1 since by >= 3).
         gate = (shard == n_shards - 1).astype(jnp.int32).reshape(1, 1)
 
-        def patch(gs, gn):
-            if n_shards == 1:
-                return gs, gn
-            recv_s = jax.lax.ppermute(gs[0], AXIS, down)
-            recv_n = jax.lax.ppermute(gn[p_loc - 1], AXIS, up)
-            gs = jnp.concatenate([recv_s[None], gs[1:]], axis=0)
-            gn = jnp.concatenate([gn[: p_loc - 1], recv_n[None]], axis=0)
-            return gs, gn
-
         def body(carry, _):
             f, gs, gn = carry
-            gs, gn = patch(gs, gn)
+            gs, gn = _patch_ghost_slots(gs, gn, AXIS, n_shards, down, up)
             f2, gs2, gn2, tot = call(f, gs, gn, fluid_loc, gate)
             av = jax.lax.psum(tot[0, 0] * fcinv, AXIS)
             return (f2, gs2, gn2), av
 
-        gs0 = jnp.transpose(f_loc[:, south_rows, :], (1, 0, 2))
-        gn0 = jnp.transpose(f_loc[:, north_rows, :], (1, 0, 2))
+        gs0 = jnp.transpose(f_loc[:, south_rows[:, 0], :], (1, 0, 2))
+        gn0 = jnp.transpose(f_loc[:, north_rows[:, 0], :], (1, 0, 2))
         (f_fin, _, _), avs = jax.lax.scan(
             body, (f_loc, gs0, gn0), None, length=max_iters
         )
@@ -394,10 +448,23 @@ def make_sharded_fused_run(
         check_vma=False,
     )
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def run(f_global: jax.Array):
-        return sharded(f_global, fluid_global)
+    # int8 mask the blocked kernel streams every step — a runtime operand
+    # committed to the mesh, not an HLO literal (see make_sharded_run).
+    fluid_dev = jax.device_put(
+        (~np.asarray(obstacles, dtype=bool)).astype(np.int8),
+        NamedSharding(mesh, P(AXIS, None)),
+    )
 
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_base(f_global: jax.Array, fluid: jax.Array):
+        return sharded(f_global, fluid)
+
+    def run(f_global: jax.Array):
+        return run_base(f_global, fluid_dev)
+
+    run.lower = lambda spec: _LoweredWithConsts(
+        run_base.lower(spec, fluid_dev), (fluid_dev,)
+    )
     return run
 
 
@@ -503,14 +570,9 @@ def make_sharded_fused_2d_run(
         dynamic_accel_gate=True,
         interpret=interpret,
     )
-    ring_y_dn = [(i, (i + 1) % py) for i in range(py)]
-    ring_y_up = [(i, (i - 1) % py) for i in range(py)]
-    ring_x_dn = [(i, (i + 1) % px) for i in range(px)]
-    ring_x_up = [(i, (i - 1) % px) for i in range(px)]
-    south_rows = np.array([(i * by - 1) % nyl for i in range(p_loc)], np.int32)
-    north_rows = np.array(
-        [((i + 1) * by) % nyl for i in range(p_loc)], np.int32
-    )
+    ring_y_dn, ring_y_up = _rings(py)
+    ring_x_dn, ring_x_up = _rings(px)
+    south_rows, north_rows = _ghost_seed_rows(nyl, by, 1)
     # Row r of the local slab sits at index r+1 of the exchanged
     # [-1 .. nyl] column strip.  Ghost-slot i holds local row i*by-1
     # (slot 0 = row -1 = strip index 0: the cross-device row — no modulo
@@ -545,15 +607,6 @@ def make_sharded_fused_2d_run(
             )
             return jax.lax.dynamic_update_slice(f, r2[:, None, :], (0, nyl - 2, 0))
 
-        def patch_y(gs, gn):
-            if py == 1:
-                return gs, gn
-            recv_s = jax.lax.ppermute(gs[0], AXIS, ring_y_dn)
-            recv_n = jax.lax.ppermute(gn[p_loc - 1], AXIS, ring_y_up)
-            gs = jnp.concatenate([recv_s[None], gs[1:]], axis=0)
-            gn = jnp.concatenate([gn[: p_loc - 1], recv_n[None]], axis=0)
-            return gs, gn
-
         def patch_x(f, gs, gn):
             # Edge columns with one-row extensions: rows [-1 .. nyl].
             def strip(col):
@@ -585,7 +638,7 @@ def make_sharded_fused_2d_run(
         def body(carry, _):
             f, gs, gn = carry
             f = kick(f)
-            gs, gn = patch_y(gs, gn)
+            gs, gn = _patch_ghost_slots(gs, gn, AXIS, py, ring_y_dn, ring_y_up)
             f, gs, gn = patch_x(f, gs, gn)
             f2, gs2, gn2, tot = call(
                 f, gs, gn, fluid_loc, jnp.asarray(zero_gate)
@@ -596,8 +649,8 @@ def make_sharded_fused_2d_run(
         f_pad = jnp.concatenate(
             [f_loc, jnp.zeros((NSPEEDS, nyl, pad), jnp.float32)], axis=2
         )
-        gs0 = jnp.transpose(f_pad[:, south_rows, :], (1, 0, 2))
-        gn0 = jnp.transpose(f_pad[:, north_rows, :], (1, 0, 2))
+        gs0 = jnp.transpose(f_pad[:, south_rows[:, 0], :], (1, 0, 2))
+        gn0 = jnp.transpose(f_pad[:, north_rows[:, 0], :], (1, 0, 2))
         (f_fin, _, _), avs = jax.lax.scan(
             body, (f_pad, gs0, gn0), None, length=max_iters
         )
@@ -611,10 +664,22 @@ def make_sharded_fused_2d_run(
         check_vma=False,
     )
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def run(f_global: jax.Array):
-        return sharded(f_global, jnp.asarray(fluid_pad_host))
+    # Padded int8 mask as a runtime operand committed to the mesh, not an
+    # HLO literal (see make_sharded_run).
+    fluid_dev = jax.device_put(
+        fluid_pad_host, NamedSharding(mesh, P(AXIS, AXIS_X))
+    )
 
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_base(f_global: jax.Array, fluid: jax.Array):
+        return sharded(f_global, fluid)
+
+    def run(f_global: jax.Array):
+        return run_base(f_global, fluid_dev)
+
+    run.lower = lambda spec: _LoweredWithConsts(
+        run_base.lower(spec, fluid_dev), (fluid_dev,)
+    )
     return run
 
 
@@ -743,17 +808,9 @@ def make_sharded_temporal_2d_run(
         interpret=interpret,
         av_lanes=nxl,
     )
-    ring_y_dn = [(i, (i + 1) % py) for i in range(py)]
-    ring_y_up = [(i, (i - 1) % py) for i in range(py)]
-    ring_x_dn = [(i, (i + 1) % px) for i in range(px)]
-    ring_x_up = [(i, (i - 1) % px) for i in range(px)]
-    south_rows = [
-        np.arange(i * by - ksteps, i * by) % nyl for i in range(p_loc)
-    ]
-    north_rows = [
-        np.arange(i * by + by, i * by + by + ksteps) % nyl
-        for i in range(p_loc)
-    ]
+    ring_y_dn, ring_y_up = _rings(py)
+    ring_x_dn, ring_x_up = _rings(px)
+    south_rows, north_rows = _ghost_seed_rows(nyl, by, ksteps)
     # Ghost-slab rows as indices into the [-K, nyl+K) exchange strip
     # (strip row = local row + K): gs[i] holds local rows i*BY-K..i*BY-1,
     # gn[i] holds (i+1)*BY..(i+1)*BY+K-1.  No modulo: slot 0 / slot
@@ -775,15 +832,6 @@ def make_sharded_temporal_2d_run(
             ]
         ).reshape(1, 2)
         mask_loc = maskext_loc[:, 0]  # [p_loc, byext, W]
-
-        def patch_y(gs, gn):
-            if py == 1:
-                return gs, gn
-            recv_s = jax.lax.ppermute(gs[0], AXIS, ring_y_dn)
-            recv_n = jax.lax.ppermute(gn[p_loc - 1], AXIS, ring_y_up)
-            gs = jnp.concatenate([recv_s[None], gs[1:]], axis=0)
-            gn = jnp.concatenate([gn[: p_loc - 1], recv_n[None]], axis=0)
-            return gs, gn
 
         def patch_x(f, gs, gn):
             def strip(lo):  # edge lanes [lo, lo+K) with K-row extensions
@@ -833,7 +881,7 @@ def make_sharded_temporal_2d_run(
 
         def body(carry, _):
             f, gs, gn = carry
-            gs, gn = patch_y(gs, gn)
+            gs, gn = _patch_ghost_slots(gs, gn, AXIS, py, ring_y_dn, ring_y_up)
             f, gs, gn = patch_x(f, gs, gn)
             f2, gs2, gn2, avs = call(f, gs, gn, mask_loc, gates)
             av = jax.lax.psum(avs[:, 0] * fcinv, (AXIS, AXIS_X))
@@ -930,6 +978,11 @@ def make_sharded_temporal_run(
     # silently un-advanced.
     if ny_loc % by != 0:
         raise ValueError(f"BY={by} does not divide local slab ny_loc={ny_loc}")
+    if ny_loc // by < 2:
+        # Same hard constraint as the 2-D factory and
+        # build_temporal_program: the ghost-slot routing assumes a block
+        # has a DISTINCT north and south neighbor within the shard.
+        raise ValueError("temporal blocking needs >= 2 row blocks per shard")
     if max_iters % ksteps != 0 or not 2 <= ksteps <= by - 2:
         raise ValueError(
             f"need K | max_iters and 2 <= K <= BY-2 (K={ksteps}, BY={by}, "
@@ -972,15 +1025,8 @@ def make_sharded_temporal_run(
         float(w2),
         interpret=interpret,
     )
-    down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    south_rows = [
-        np.arange(i * by - ksteps, i * by) % ny_loc for i in range(p_loc)
-    ]
-    north_rows = [
-        np.arange(i * by + by, i * by + by + ksteps) % ny_loc
-        for i in range(p_loc)
-    ]
+    down, up = _rings(n_shards)
+    south_rows, north_rows = _ghost_seed_rows(ny_loc, by, ksteps)
 
     def local_run(f_loc: jax.Array, maskext_loc: jax.Array):
         shard = jax.lax.axis_index(AXIS)
@@ -991,18 +1037,9 @@ def make_sharded_temporal_run(
             ]
         ).reshape(1, 2)
 
-        def patch(gs, gn):
-            if n_shards == 1:
-                return gs, gn
-            recv_s = jax.lax.ppermute(gs[0], AXIS, down)
-            recv_n = jax.lax.ppermute(gn[p_loc - 1], AXIS, up)
-            gs = jnp.concatenate([recv_s[None], gs[1:]], axis=0)
-            gn = jnp.concatenate([gn[: p_loc - 1], recv_n[None]], axis=0)
-            return gs, gn
-
         def body(carry, _):
             f, gs, gn = carry
-            gs, gn = patch(gs, gn)
+            gs, gn = _patch_ghost_slots(gs, gn, AXIS, n_shards, down, up)
             f2, gs2, gn2, avs = call(f, gs, gn, maskext_loc, gates)
             av = jax.lax.psum(avs[:, 0] * fcinv, AXIS)
             return (f2, gs2, gn2), av

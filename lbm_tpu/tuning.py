@@ -122,6 +122,11 @@ def record(
     return path
 
 
+# (device_kind, ny, nx) shapes maybe_autotune_slab already swept this
+# process — sweeps are minutes of remote compiles, never repeat one.
+_ATTEMPTED_SWEEPS: set[tuple[str, int, int]] = set()
+
+
 def autotune_on_miss_enabled() -> bool:
     """Opt-in switch (``LBM_AUTOTUNE_ON_MISS=1``) for measuring a slab
     shape's (BY, K) on first compile instead of trusting the heuristics.
@@ -160,11 +165,22 @@ def maybe_autotune_slab(
     mismatch (sweeping for a remote mesh from a host with a different
     default device) simply records under the measuring device — correct,
     since measurements only apply to the device kind that produced them.
+    To keep that mismatch (or a sweep whose every candidate failed) from
+    re-paying the minutes-long sweep on EVERY compile, the cache is also
+    checked under the measuring device's kind and each (kind, shape) is
+    attempted at most once per process.
     """
     if not autotune_on_miss_enabled():
         return False
     if device_kind and lookup(device_kind, ny, nx):
         return False  # already measured
+    measuring = default_device_kind()
+    if measuring != device_kind and lookup(measuring, ny, nx):
+        return False  # measured on the device the sweep would run on
+    attempt = (measuring, ny, nx)
+    if attempt in _ATTEMPTED_SWEEPS:
+        return False  # this process already swept (or failed) this shape
+    _ATTEMPTED_SWEEPS.add(attempt)
     from lbm_tpu.config import LBMParams
     from lbm_tpu.geometry import channel_box
 
