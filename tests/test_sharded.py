@@ -461,3 +461,58 @@ def test_rejects_too_thin_shards(eight_devices):
     obstacles = channel_box(params.nx, params.ny)
     with pytest.raises(ValueError, match="3 rows"):
         ShardedSimulator(params, obstacles, mesh=default_mesh(8)).compiled()
+
+
+def test_no_factory_embeds_the_mask_as_an_hlo_literal(eight_devices):
+    """Every sharded factory must pass the fluid/extended mask as a
+    runtime operand (_LoweredWithConsts): an embedded dense literal blows
+    the remote compile service's request limit at giant grids (HTTP 413
+    at 8192^2 — the round-2 mask-as-operand fix, here locked in for ALL
+    six paths, not just the temporal ones)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lbm_tpu.parallel.sharded import (
+        AXIS,
+        AXIS_X,
+        default_mesh_2d,
+        make_sharded_2d_run,
+        make_sharded_fused_2d_run,
+        make_sharded_fused_run,
+        make_sharded_run,
+        make_sharded_temporal_2d_run,
+        make_sharded_temporal_run,
+    )
+
+    params = dataclasses.replace(PARAMS, ny=64, nx=128, max_iters=4)
+    obstacles = channel_box(params.nx, params.ny, interior_row=31)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    mesh, mesh2 = default_mesh(4), default_mesh_2d(2, 2)
+    kw = dict(interpret=True)
+    cases = [
+        (make_sharded_run(params, obstacles, fcinv, mesh), mesh,
+         P(None, AXIS, None)),
+        (make_sharded_2d_run(params, obstacles, fcinv, mesh2), mesh2,
+         P(None, AXIS, AXIS_X)),
+        (make_sharded_fused_run(params, obstacles, fcinv, mesh, **kw),
+         mesh, P(None, AXIS, None)),
+        (make_sharded_fused_2d_run(params, obstacles, fcinv, mesh2, **kw),
+         mesh2, P(None, AXIS, AXIS_X)),
+        (make_sharded_temporal_run(
+            params, obstacles, fcinv, mesh, by=8, ksteps=2, **kw),
+         mesh, P(None, AXIS, None)),
+        (make_sharded_temporal_2d_run(
+            params, obstacles, fcinv, mesh2, by=8, ksteps=2, **kw),
+         mesh2, P(None, AXIS, AXIS_X)),
+    ]
+    for run, m, spec in cases:
+        s = jax.ShapeDtypeStruct(
+            (9, params.ny, params.nx), jnp.float32,
+            sharding=NamedSharding(m, spec),
+        )
+        lowered = run.lower(s)
+        assert hasattr(lowered, "_consts"), "factory must route consts"
+        text = lowered._lowered.as_text()
+        big = [ln for ln in text.splitlines()
+               if "dense" in ln and len(ln) > 4 * params.ny * params.nx]
+        assert not big, f"dense mask literal leaked: {big[0][:120]}"
