@@ -21,14 +21,27 @@
 #include <stdlib.h>
 #include <string.h>
 
-/* Grab a read-only contiguous buffer of `itemsize`-sized elements. */
+/* Grab a read-only contiguous buffer of `itemsize`-sized elements whose
+ * element format matches `fmt` ('d' = float64, 'i' = int32).  The format
+ * check matters: a float32 array of an 8-divisible byte length would
+ * otherwise be silently reinterpreted as doubles and written as noise. */
 static int
 get_buffer(PyObject *obj, Py_buffer *view, Py_ssize_t expect_items,
-           Py_ssize_t itemsize, const char *name)
+           Py_ssize_t itemsize, char fmt, const char *name)
 {
-    if (PyObject_GetBuffer(obj, view, PyBUF_C_CONTIGUOUS | PyBUF_SIMPLE) < 0)
+    if (PyObject_GetBuffer(obj, view, PyBUF_C_CONTIGUOUS | PyBUF_FORMAT) < 0)
         return -1;
-    if (view->len != expect_items * itemsize) {
+    if (view->itemsize != itemsize || view->format == NULL ||
+        view->format[0] != fmt || view->format[1] != '\0') {
+        PyErr_Format(PyExc_ValueError,
+                     "%s: expected a '%c' buffer of %zd-byte items, got "
+                     "format '%s' with itemsize %zd",
+                     name, fmt, itemsize,
+                     view->format ? view->format : "B", view->itemsize);
+        PyBuffer_Release(view);
+        return -1;
+    }
+    if (expect_items >= 0 && view->len != expect_items * itemsize) {
         PyErr_Format(PyExc_ValueError,
                      "%s: expected %zd items of %zd bytes, got %zd bytes",
                      name, expect_items, itemsize, view->len);
@@ -50,15 +63,15 @@ write_final_state(PyObject *self, PyObject *args)
 
     Py_ssize_t n = ny * nx;
     Py_buffer bux, buy, bspeed, bpressure, bobs;
-    if (get_buffer(oux, &bux, n, 8, "ux") < 0)
+    if (get_buffer(oux, &bux, n, 8, 'd', "ux") < 0)
         return NULL;
-    if (get_buffer(ouy, &buy, n, 8, "uy") < 0)
+    if (get_buffer(ouy, &buy, n, 8, 'd', "uy") < 0)
         goto fail1;
-    if (get_buffer(ospeed, &bspeed, n, 8, "speed") < 0)
+    if (get_buffer(ospeed, &bspeed, n, 8, 'd', "speed") < 0)
         goto fail2;
-    if (get_buffer(opressure, &bpressure, n, 8, "pressure") < 0)
+    if (get_buffer(opressure, &bpressure, n, 8, 'd', "pressure") < 0)
         goto fail3;
-    if (get_buffer(oobs, &bobs, n, 4, "obstacles") < 0)
+    if (get_buffer(oobs, &bobs, n, 4, 'i', "obstacles") < 0)
         goto fail4;
 
     {
@@ -76,17 +89,31 @@ write_final_state(PyObject *self, PyObject *args)
         /* 1 MiB stdio buffer keeps write() syscalls rare. */
         setvbuf(fp, NULL, _IOFBF, 1 << 20);
 
+        /* fprintf/fclose failures (ENOSPC, I/O errors) must surface —
+         * a silently truncated final_state.dat would only be found
+         * later as a mysterious checker failure. */
+        int io_error = 0;
         Py_BEGIN_ALLOW_THREADS
-        for (Py_ssize_t y = 0; y < ny; ++y) {
+        for (Py_ssize_t y = 0; y < ny && !io_error; ++y) {
             for (Py_ssize_t x = 0; x < nx; ++x) {
                 Py_ssize_t i = y * nx + x;
-                fprintf(fp, "%d %d %.12E %.12E %.12E %.12E %d\n", (int)x,
-                        (int)y, ux[i], uy[i], speed[i], pressure[i],
-                        (int)obs[i]);
+                if (fprintf(fp, "%d %d %.12E %.12E %.12E %.12E %d\n",
+                            (int)x, (int)y, ux[i], uy[i], speed[i],
+                            pressure[i], (int)obs[i]) < 0) {
+                    io_error = 1;
+                    break;
+                }
             }
         }
+        /* fclose flushes the stdio buffer — its failure is a failed
+         * write of up to the final 1 MiB. */
+        if (fclose(fp) != 0)
+            io_error = 1;
         Py_END_ALLOW_THREADS
-        fclose(fp);
+        if (io_error) {
+            PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+            goto fail5;
+        }
     }
 
     PyBuffer_Release(&bobs);
@@ -118,13 +145,8 @@ write_av_vels(PyObject *self, PyObject *args)
         return NULL;
 
     Py_buffer bav;
-    if (PyObject_GetBuffer(oav, &bav, PyBUF_C_CONTIGUOUS | PyBUF_SIMPLE) < 0)
+    if (get_buffer(oav, &bav, -1, 8, 'd', "av") < 0)
         return NULL;
-    if (bav.len % 8 != 0) {
-        PyErr_SetString(PyExc_ValueError, "av: expected float64 buffer");
-        PyBuffer_Release(&bav);
-        return NULL;
-    }
 
     {
         Py_ssize_t n = bav.len / 8;
@@ -136,11 +158,22 @@ write_av_vels(PyObject *self, PyObject *args)
             return NULL;
         }
         setvbuf(fp, NULL, _IOFBF, 1 << 20);
+        int io_error = 0;
         Py_BEGIN_ALLOW_THREADS
-        for (Py_ssize_t i = 0; i < n; ++i)
-            fprintf(fp, "%zd:\t%.12E\n", i, av[i]);
+        for (Py_ssize_t i = 0; i < n; ++i) {
+            if (fprintf(fp, "%zd:\t%.12E\n", i, av[i]) < 0) {
+                io_error = 1;
+                break;
+            }
+        }
+        if (fclose(fp) != 0)
+            io_error = 1;
         Py_END_ALLOW_THREADS
-        fclose(fp);
+        if (io_error) {
+            PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+            PyBuffer_Release(&bav);
+            return NULL;
+        }
     }
     PyBuffer_Release(&bav);
     Py_RETURN_NONE;
@@ -219,9 +252,12 @@ parse_obstacles(PyObject *self, PyObject *args)
         char extra[8];
         int rv = sscanf(line, "%ld %ld %ld %7s", &xx, &yy, &blocked, extra);
         if (rv <= 0) {
+            /* Same blank-line set as Python's str.split(): all ASCII
+             * whitespace, including \v and \f. */
             int only_ws = 1;
             for (const char *p = line; *p; ++p) {
-                if (*p != ' ' && *p != '\t' && *p != '\r' && *p != '\n') {
+                if (*p != ' ' && *p != '\t' && *p != '\r' && *p != '\n' &&
+                    *p != '\v' && *p != '\f') {
                     only_ws = 0;
                     break;
                 }

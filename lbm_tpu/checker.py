@@ -38,7 +38,7 @@ def _report(name: str, ref: np.ndarray, sim: np.ndarray, where) -> float:
     # Reference protocol (check/check.py): plain argmax, which lands on a
     # NaN entry if one exists, so a non-finite percent-diff anywhere fails
     # the check rather than being skipped.
-    idx = int(np.argmax(np.abs(pct))) if pct.size else 0
+    idx = int(np.argmax(np.abs(pct)))  # ref.size == 0 returned above
     print(f"Total difference in {name} : {np.abs(diff).sum():.12E}")
     print(f"Biggest difference (at {where(idx)}) : {diff[idx]:.12E}")
     print(f"  {sim[idx]:.12E} vs. {ref[idx]:.12E} = {pct[idx]:.2g}%")

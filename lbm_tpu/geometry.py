@@ -22,6 +22,7 @@ for a blocked cell (row-major ``[ny, nx]``, matching the reference's
 from __future__ import annotations
 
 import pathlib
+import re
 
 import numpy as np
 
@@ -29,6 +30,9 @@ try:  # optional native parser (built via `make native`)
     from lbm_tpu._native import lbmio as _lbmio
 except ImportError:  # pragma: no cover
     _lbmio = None
+
+# What the native parser's sscanf %ld accepts: optional sign, ASCII digits.
+_INT_TOKEN = re.compile(r"[+-]?[0-9]+")
 
 
 def load_obstacle_file(
@@ -52,6 +56,14 @@ def load_obstacle_file(
             if len(fields) != 3:
                 raise ValueError(
                     f"{path}:{lineno}: expected 3 values per line, got {len(fields)}"
+                )
+            # Strict decimal-integer tokens, matching the native parser's
+            # sscanf %ld: Python's bare int() would also accept forms
+            # like '1_2' or unicode digits, making the same file parse
+            # differently depending on whether `make native` ran.
+            if not all(_INT_TOKEN.fullmatch(v) for v in fields):
+                raise ValueError(
+                    f"{path}:{lineno}: expected 3 integers per line"
                 )
             xx, yy, blocked = (int(v) for v in fields)
             if not 0 <= xx < nx:

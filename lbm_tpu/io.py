@@ -59,6 +59,13 @@ def write_final_state(
     obstacles = np.asarray(obstacles, dtype=bool)
     if fields is not None:
         u_x, u_y, speed, pressure = np.asarray(fields, dtype=np.float64)
+    elif f is None:
+        raise ValueError(
+            "write_final_state needs exactly one of f (distribution "
+            "state) or fields ([u_x, u_y, |u|, pressure] stack); got "
+            "neither — did the run use a readback mode that returned "
+            "the other payload?"
+        )
     else:
         u_x, u_y, speed, pressure = final_state_columns(params, f, obstacles)
     ny, nx = obstacles.shape

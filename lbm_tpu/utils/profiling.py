@@ -49,19 +49,26 @@ class PerfReport:
         return self.nx * self.ny * self.steps
 
     @property
+    def _elapsed_safe(self) -> float:
+        # A zero-step run (max_iters=0 is valid) or sub-timer-resolution
+        # elapsed must not crash a report; same convention as
+        # diagnostics.ResultMetrics.mlups (rate -> inf, not an exception).
+        return self.elapsed if self.elapsed > 0.0 else float("inf")
+
+    @property
     def mlups(self) -> float:
-        return self.cell_updates / self.elapsed / 1e6
+        return self.cell_updates / self._elapsed_safe / 1e6
 
     @property
     def effective_bandwidth_gbs(self) -> float:
         """Nominal HBM bytes/s of the compiled kernel variant (ghost-slab
         traffic of the chunked kernels, a few rows per pass, is ignored)."""
         per_step = BYTES_PER_CELL / self.steps_per_pass
-        return self.cell_updates * per_step / self.elapsed / 1e9
+        return self.cell_updates * per_step / self._elapsed_safe / 1e9
 
     @property
     def effective_gflops(self) -> float:
-        return self.cell_updates * FLOPS_PER_CELL / self.elapsed / 1e9
+        return self.cell_updates * FLOPS_PER_CELL / self._elapsed_safe / 1e9
 
     def summary(self) -> str:
         return (
