@@ -58,7 +58,10 @@ def _ablated_kernel(mode, by, ksteps, nx, omega, aw1, aw2):
         f32 = jnp.float32
         i = pl.program_id(0)
         last = pl.num_programs(0) - 1
-        fluid = maskext_ref[0, :, :] > f32(0.5)
+        # int8 mask, widened to f32 before comparing (Mosaic cannot
+        # relayout sub-byte compare results) — the SAME operand the
+        # production kernel streams, so mask traffic matches exactly.
+        fluid = maskext_ref[0, :, :].astype(f32) > f32(0.5)
         planes = [
             jnp.concatenate(
                 [gs_ref[0, :, k, :], c_ref[k, :, :], gn_ref[0, :, k, :]],
@@ -139,18 +142,15 @@ def main(argv=None) -> int:
     parser.add_argument("--steps", type=int, default=4800)
     args = parser.parse_args(argv)
 
+    if args.steps < args.k:
+        parser.error(f"--steps ({args.steps}) must be >= --k ({args.k}): "
+                     "the timer runs whole K-passes")
+
     params = CANONICAL_PARAMS["1024x1024"]
     obs = canonical_obstacles("1024x1024")
     fcinv = np.float32(1.0 / free_cells_of(obs))
     ny, nx = params.ny, params.nx
     by, k = args.by, args.k
-    grid = ny // by
-    maskext = np.stack(
-        [
-            (~obs)[np.arange(i * by - k, i * by + by + k) % ny, :]
-            for i in range(grid)
-        ]
-    ).astype(np.float32)
 
     def timed(fn, carry, steps):
         executed = (steps // k) * k  # whole K-passes only
@@ -186,9 +186,11 @@ def main(argv=None) -> int:
                              float(aw1), float(aw2))
 
         def step(c, call=call):
-            f, gs, gn = c
-            f2, gs2, gn2, _ = call(f, gs, gn, jnp.asarray(maskext))
-            return (f2, gs2, gn2)
+            # The production carry: (f, gs, gn, int8 maskext) — the mask
+            # threads through unchanged, exactly as prog.step does.
+            f, gs, gn, maskext = c
+            f2, gs2, gn2, _ = call(f, gs, gn, maskext)
+            return (f2, gs2, gn2, maskext)
 
         results[mode] = timed(step, fresh_carry(), args.steps)
         print(json.dumps({"mode": mode, "us_per_step": round(results[mode], 2)}),

@@ -49,6 +49,7 @@ def bench_case(case: str, repeats: int) -> dict:
         "mlups": best.mlups,
         "speedup": REFERENCE_SECONDS[case] / best.elapsed,
         "reynolds": best.reynolds,
+        "av_finite": bool(np.isfinite(best.av_vels).all()),
         "max_diff_pct": float("nan"),
     }
     golden_path = GOLDEN_DIR / f"{case}.av_vels.dat"
@@ -94,12 +95,18 @@ def main(argv: list[str] | None = None) -> int:
     # Correctness gate: a golden-checked case that drifted out of tolerance
     # (or produced non-finite values) makes this a FAILED run, not a perf
     # report with a footnote.  Cases without a mounted golden have NaN
-    # max_diff_pct and are exempt (their av_vels must still be finite).
+    # max_diff_pct and are exempt from the diff gate but must still
+    # produce finite av_vels and Reynolds.  Golden presence is derived
+    # from the comparison that actually RAN in bench_case (NaN marker),
+    # not re-checked on the filesystem — a mount appearing/disappearing
+    # mid-run must not reclassify the case.
     failed = []
     for r in rows:
-        golden_present = (GOLDEN_DIR / f"{r['case']}.av_vels.dat").exists()
-        if golden_present and not (r["max_diff_pct"] <= args.tolerance):
+        compared = not np.isnan(r["max_diff_pct"])
+        if compared and not (r["max_diff_pct"] <= args.tolerance):
             failed.append(f"{r['case']} ({r['max_diff_pct']:.4f}%)")
+        elif not r["av_finite"]:
+            failed.append(f"{r['case']} (non-finite av_vels)")
         elif not np.isfinite(r["reynolds"]):
             failed.append(f"{r['case']} (non-finite Reynolds)")
     if failed:

@@ -111,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
 
     cells = params.nx * params.ny
     mlups = cells * args.max_iters / best / 1e6
-    chunk = sim.chunk(args.max_iters) or 1
+    chunk = sim.chunk(args.max_iters)  # >= 1 by contract
     # Halo traffic per step per shard (nominal): one 9-speed boundary
     # row/column each way per ring that actually crosses devices (the
     # temporal paths move K-row/K-lane slabs every K steps — same bytes,
@@ -140,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
                 "shards": n,
                 "max_iters": args.max_iters,
                 "kernel": variant,
-                "chunk": sim.chunk(args.max_iters),
+                "chunk": chunk,
                 "av_last": float(np.asarray(jax.device_get(av[-1]))),
             }
         )
