@@ -1,0 +1,61 @@
+"""Tooling drift guards: the repo tools must keep building against the
+library's current carry/kernel contracts (the ablation tool once broke
+silently when the temporal mask moved into the carry)."""
+
+import importlib.util
+import pathlib
+
+import numpy as np
+import pytest
+
+import jax.experimental.pallas as pl
+
+from lbm_tpu.config import LBMParams
+from lbm_tpu.geometry import channel_box, free_cells_of
+from lbm_tpu.ops.fused import build_temporal_program
+from lbm_tpu.ops.reference import accel_weights, init_cells
+
+TOOLS = pathlib.Path(__file__).resolve().parent.parent / "tools"
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(name, TOOLS / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    """Force interpret mode for pallas_call built inside a tool."""
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+
+
+def test_ablated_modes_match_the_production_carry(interpret_pallas):
+    """The ablation tool's kernels must accept the production temporal
+    carry (f, gs, gn, int8 maskext) and its 'collide' mode must
+    reproduce the production kernel's f BITWISE (same physics, minus
+    only the av reduction)."""
+    ab = _load("ablate_step")
+    params = LBMParams(128, 64, 8, 10, 0.1, 0.005, 1.85)
+    obs = channel_box(params.nx, params.ny, interior_row=31)
+    fcinv = np.float32(1.0 / free_cells_of(obs))
+    by, k = 16, 4
+    prog = build_temporal_program(params, obs, fcinv, by, k, interpret=True)
+    aw1, aw2 = accel_weights(params)
+    omega = float(np.float32(params.omega))
+    for mode in ("noop", "stream", "collide"):
+        call = ab.build_ablated(
+            mode, params.ny, params.nx, by, k, omega, float(aw1), float(aw2)
+        )
+        f, gs, gn, maskext = prog.init(init_cells(params))
+        assert maskext.dtype == np.int8  # the production operand, not f32
+        fa, gsa, gna, _ = call(f, gs, gn, maskext)
+        assert fa.shape == f.shape
+        if mode == "collide":
+            (fp, *_), _av = prog.step(prog.init(init_cells(params)))
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fp))
