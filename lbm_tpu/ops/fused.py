@@ -166,23 +166,12 @@ class CheckpointIO:
 
 
 def choose_block_rows(ny: int, nx: int) -> int | None:
-    """Largest power-of-two divisor of ny fitting the VMEM budget (>= 3)."""
-    by = 1
-    while (
-        by * 2 <= ny
-        and ny % (by * 2) == 0
-        and (by * 2) * nx <= _BLOCK_CELL_BUDGET
-    ):
-        by *= 2
-    if by * nx > _BLOCK_CELL_BUDGET:
-        return None  # a single row already blows the budget
-    if by < 3:  # body-force fusion requires BY >= 3 (see module docstring)
-        return None
-    if by < 8 and by < ny:
-        # Pallas TPU tiling: a block's row dim must be divisible by 8 or
-        # equal the full array dim (a whole-grid by == ny block is fine).
-        return None
-    return by
+    """Largest power-of-two divisor of ny fitting the VMEM budget (>= 3
+    for body-force fusion, and divisible by 8 unless it is the whole grid
+    — the Pallas row-dim tiling rule).  Delegates to
+    ``_largest_block_rows`` so the single-step and temporal schedulers
+    share ONE definition of these constraints."""
+    return _largest_block_rows(ny, nx, _BLOCK_CELL_BUDGET)
 
 
 def _roll_x(plane: jax.Array, shift: int) -> jax.Array:
@@ -515,20 +504,28 @@ def build_fused_program(
         ny, nx, by, kw["omega"], kw["aw1"], kw["aw2"], interpret=interpret
     )
     # The blocked kernel re-streams the static mask from HBM every step;
-    # int8 cuts that 1/19 of the traffic to 1/4 of a plane.
+    # int8 cuts that 1/19 of the traffic to 1/4 of a plane.  Like the
+    # temporal program's maskext, it rides the carry as a runtime
+    # argument when the driver supplies it via consts — an embedded
+    # giant-grid literal blows the remote compile service's request
+    # limit (StepProgram.consts; HTTP 413 at 8192^2).
     fluid_i8 = fluid_host.astype(np.int8)
 
-    def init(f):
+    def init(f, fluid=None):
+        if fluid is None:
+            fluid = jnp.asarray(fluid_i8)
         gs = jnp.transpose(f[:, south_rows, :], (1, 0, 2))
         gn = jnp.transpose(f[:, north_rows, :], (1, 0, 2))
-        return (f, gs, gn)
+        return (f, gs, gn, fluid)
 
     def step(carry):
-        f, gs, gn = carry
-        f_new, gs_new, gn_new, tot = call(f, gs, gn, jnp.asarray(fluid_i8))
-        return (f_new, gs_new, gn_new), tot[0, 0] * fcinv
+        f, gs, gn, fluid = carry
+        f_new, gs_new, gn_new, tot = call(f, gs, gn, fluid)
+        return (f_new, gs_new, gn_new, fluid), tot[0, 0] * fcinv
 
-    return StepProgram(init=init, step=step, final=lambda c: c[0])
+    return StepProgram(
+        init=init, step=step, final=lambda c: c[0], consts=(fluid_i8,)
+    )
 
 
 def _step_kernel_multi(
@@ -599,6 +596,12 @@ def build_multi_step_program(
 ) -> StepProgram:
     """Whole-grid multi-step program (``chunk == steps``)."""
     ny, nx = params.ny, params.nx
+    if ny < 3:
+        # The in-kernel body-force concat slices rows [0, ny-2) — at
+        # ny < 3 that is a zero-row vector, which Mosaic rejects with a
+        # cryptic lowering error (the factory guard never forwards
+        # such grids; this covers direct builder calls).
+        raise ValueError(f"multi-step kernel needs ny >= 3, got ny={ny}")
     aw1, aw2 = accel_weights(params)
     fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.float32)
     fcinv = np.float32(free_cells_inv)
@@ -1907,7 +1910,10 @@ def _structurally_valid(ny: int, by: int, ksteps: int, max_iters: int) -> bool:
     """The temporal kernel's hard constraints (see build_temporal_program)."""
     return (
         by >= 4
-        and (by % 8 == 0 or by == ny)  # Pallas row-dim tiling constraint
+        # Pallas row-dim tiling: BY % 8 == 0 (a whole-grid by == ny block
+        # would also lower, but the >= 2 row-block constraint below
+        # already excludes it).
+        and by % 8 == 0
         and ny % by == 0
         and ny // by >= 2
         and 2 <= ksteps <= by - 2
