@@ -314,8 +314,8 @@ def test_save_rejects_short_av(tmp_path):
     rows off their timestep on resume — both writers must refuse."""
     import jax.numpy as jnp
 
-    obs = channel_box(64, 32)
-    f = np.zeros((9, 64, 32), np.float32)
+    obs = channel_box(64, 32)  # (nx, ny) -> mask [ny=32, nx=64]
+    f = np.zeros((9, 32, 64), np.float32)  # [9, ny, nx]
     short_av = np.zeros(5, np.float32)
     with pytest.raises(ValueError, match="av_vels has 5"):
         ckpt.save(tmp_path, PARAMS, obs, 10, f, short_av)
@@ -343,7 +343,7 @@ def test_v1_load_rejects_short_av(tmp_path):
         np.savez(
             fp,
             header=np.frombuffer(header.encode(), dtype=np.uint8),
-            f=np.zeros((9, 64, 32), np.float32),
+            f=np.zeros((9, 32, 64), np.float32),
             av_vels=np.zeros(5, np.float32),
         )
     with pytest.raises(ValueError, match="av stream has 5"):

@@ -479,6 +479,50 @@ def test_checker_av_only_mode(tmp_path, capsys):
     assert "av_vels passed!" in capsys.readouterr().out
 
 
+def test_checker_detects_final_state_mismatch(tmp_path):
+    """The final_state leg must actually compare the checked column
+    (pressure, col 5): a beyond-tolerance pressure diff fails, a
+    within-tolerance one passes.  Guards against a regression that
+    self-compares or drops the final_state report entirely (every other
+    test feeds identical final_state files)."""
+    av = tmp_path / "av.dat"
+    av.write_text("0:\t1.00E-05\n")
+    ref = tmp_path / "ref_fs.dat"
+    bad = tmp_path / "bad_fs.dat"
+    close = tmp_path / "close_fs.dat"
+    ref.write_text(
+        "0 0 0.0E+00 0.0E+00 0.0E+00 3.300E-02 1\n"
+        "1 0 1.0E-03 0.0E+00 1.0E-03 3.400E-02 0\n"
+    )
+    # second row's pressure 5% off -> beyond the 1% tolerance
+    bad.write_text(
+        "0 0 0.0E+00 0.0E+00 0.0E+00 3.300E-02 1\n"
+        "1 0 1.0E-03 0.0E+00 1.0E-03 3.570E-02 0\n"
+    )
+    # 0.5% off -> within tolerance
+    close.write_text(
+        "0 0 0.0E+00 0.0E+00 0.0E+00 3.300E-02 1\n"
+        "1 0 1.0E-03 0.0E+00 1.0E-03 3.417E-02 0\n"
+    )
+    common = dict(ref_av_vels=str(av), av_vels=str(av))
+    assert not compare_files(
+        **common, ref_final_state=str(ref), final_state=str(bad)
+    )
+    assert compare_files(
+        **common, ref_final_state=str(ref), final_state=str(close)
+    )
+    # un-checked columns (u_x/u_y/|u|) must NOT affect the verdict —
+    # the protocol reads usecols [0, 1, 5] only
+    ucols = tmp_path / "ucols_fs.dat"
+    ucols.write_text(
+        "0 0 9.9E+00 9.9E+00 9.9E+00 3.300E-02 1\n"
+        "1 0 9.9E+00 9.9E+00 9.9E+00 3.400E-02 0\n"
+    )
+    assert compare_files(
+        **common, ref_final_state=str(ref), final_state=str(ucols)
+    )
+
+
 def test_checker_rejects_asymmetric_final_state_flags(tmp_path):
     """Supplying only one of the two final_state files must fail, not
     silently narrow to an av_vels-only check."""

@@ -481,14 +481,18 @@ def test_temporal_program_validates_explicit_split():
 
 
 def test_fallback_on_odd_grid():
-    """Non-power-of-two ny must transparently use the jnp path."""
+    """Non-power-of-two ny must transparently use the jnp path — and
+    actually COMPUTE the physics (not just return something finite)."""
     params = LBMParams(96, 7, 3, 10, 0.1, 0.005, 1.85)
     obstacles = np.zeros((7, 96), dtype=bool)
     fcinv = np.float32(1.0 / obstacles.size)
     step = make_fused_step_fn(params, obstacles, fcinv, interpret=True)
     f = init_cells(params)
     f2, av = jax.jit(step)(f)
-    assert np.isfinite(np.asarray(f2)).all()
+    ref_step = make_step_fn(params, obstacles, fcinv)
+    f2_ref, av_ref = jax.jit(ref_step)(init_cells(params))
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f2_ref))
+    np.testing.assert_array_equal(np.asarray(av), np.asarray(av_ref))
 
 
 def test_simulator_fields_readback_uses_final_fields(monkeypatch):

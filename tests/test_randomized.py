@@ -197,8 +197,13 @@ def test_sharded_random(seed):
         res = sim.run()
     except ValueError as e:
         # An explicit 'temporal' request may legitimately admit no valid
-        # (BY, K) split for this random grid; anything else is a bug.
-        assert kernel == "temporal" and "temporal" in str(e), e
+        # (BY, K) split for this random grid; anything else — including
+        # a split-validation regression raising a DIFFERENT ValueError —
+        # is a bug, so match the one expected message exactly.
+        assert (
+            kernel == "temporal"
+            and "no valid temporal (BY, K) split" in str(e)
+        ), e
         return
     np.testing.assert_allclose(res.f, single.f, rtol=1e-5, atol=1e-9)
     np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=1e-4)

@@ -198,15 +198,26 @@ def test_sharded_2d_interior_column(eight_devices):
 
 
 def test_sharded_fields_readback(eight_devices):
-    """Sharded fields readback must agree with the state readback."""
+    """Sharded fields readback must agree with the state readback
+    PER CELL — a plane swap or spatial permutation in the sharded
+    gather would leave av/Reynolds (means) unchanged."""
+    from lbm_tpu.io import final_state_columns
+
     params = dataclasses.replace(PARAMS, max_iters=20)
-    obstacles = channel_box(PARAMS.nx, PARAMS.ny)
+    obstacles = channel_box(PARAMS.nx, PARAMS.ny, interior_row=31)
     sim = ShardedSimulator(params, obstacles, mesh=default_mesh(4))
     state = sim.run()
     fields = sim.run(readback="fields")
     assert fields.f is None and fields.fields.shape == (4, PARAMS.ny, PARAMS.nx)
     np.testing.assert_array_equal(state.av_vels, fields.av_vels)
-    # |u| rides the float16 payload; quantization averages out in the mean
+    # Spatial per-cell agreement with the fp64 host derivation from the
+    # state payload, at fp16-quantization tolerances (same bounds as the
+    # single-chip test_fields_readback_matches_state).
+    ux, uy, speed, pressure = final_state_columns(params, state.f, obstacles)
+    np.testing.assert_allclose(fields.fields[0], ux, rtol=1.1e-3, atol=1e-6)
+    np.testing.assert_allclose(fields.fields[1], uy, rtol=1.1e-3, atol=1e-6)
+    np.testing.assert_allclose(fields.fields[2], speed, rtol=1.1e-3, atol=1e-6)
+    np.testing.assert_allclose(fields.fields[3], pressure, rtol=1e-4)
     assert abs(state.reynolds - fields.reynolds) / abs(state.reynolds) < 2e-4
 
 
@@ -513,6 +524,10 @@ def test_no_factory_embeds_the_mask_as_an_hlo_literal(eight_devices):
         lowered = run.lower(s)
         assert hasattr(lowered, "_consts"), "factory must route consts"
         text = lowered._lowered.as_text()
+        # MLIR hex-prints int8/bool literals at ~2 chars per element, so
+        # the threshold must be far below elements*chars: an embedded
+        # 64x128 int8 mask prints as a ~16k-char dense<"0x..."> line.
+        # Legit constants here are splats or tiny index vectors (< 1k).
         big = [ln for ln in text.splitlines()
-               if "dense" in ln and len(ln) > 4 * params.ny * params.nx]
+               if "dense" in ln and len(ln) > 4096]
         assert not big, f"dense mask literal leaked: {big[0][:120]}"
