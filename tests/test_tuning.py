@@ -151,6 +151,13 @@ def test_xtiled_candidate_enumeration():
         assert _xtiled_structurally_valid(8192, 8192, by, k, px, 960)
         assert (by + 2 * k) * (8192 // px + _XT_PAD) <= tuning._WINDOW_CELL_CAP
         assert 8192 // px >= 1024
+        # Independent literal constraints (NOT the implementation's own
+        # predicate/cap, which would make this circular): Pallas row
+        # tiling, >= 2 row blocks, kick containment, K | steps, and
+        # lane-aligned strips.
+        assert by % 8 == 0 and 8192 % by == 0 and 8192 // by >= 2
+        assert 2 <= k <= by - 2 and 960 % k == 0
+        assert 8192 % px == 0 and (8192 // px) % 128 == 0
     # Narrow grids admit no strips (bx would drop below 1024).
     assert tuning.xtiled_candidates(1024, 1024, 960) == []
 
