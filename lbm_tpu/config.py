@@ -33,6 +33,10 @@ class LBMParams:
     def __post_init__(self) -> None:
         if self.nx <= 0 or self.ny <= 0:
             raise ValueError(f"grid must be positive, got {self.nx}x{self.ny}")
+        if self.ny < 2:
+            # The body force applies at row ny-2 (d2q9-bgk.c / kernels.cl);
+            # ny=1 would silently wrap it to row -1 via negative indexing.
+            raise ValueError(f"need ny >= 2 for the body-force row, got {self.ny}")
         if self.max_iters < 0:
             raise ValueError(f"max_iters must be >= 0, got {self.max_iters}")
         if not 0.0 < self.omega < 2.0:
@@ -81,9 +85,13 @@ class LBMParams:
 
 
 def format_param_float(v: float) -> str:
-    """Compact decimal form used by the shipped ``input_*.params`` files."""
-    s = f"{v:g}"
-    return s
+    """Compact decimal form used by the shipped ``input_*.params`` files.
+
+    ``repr`` is the shortest string that round-trips the float exactly —
+    for the canonical values it matches the shipped files ('0.1',
+    '0.005'), and unlike ``%g`` (6 significant digits) it never silently
+    truncates a higher-precision value on ``to_file``."""
+    return repr(v)
 
 
 # The four canonical cases shipped with the reference (``input_*.params``).

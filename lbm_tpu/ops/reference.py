@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lbm_tpu.config import LBMParams
-from lbm_tpu.ops.lattice import CX, CY, NSPEEDS, OPPOSITE, WEIGHTS
+from lbm_tpu.ops.lattice import CX, CY, NSPEEDS, OPPOSITE, WEIGHTS, kick_scale
 
 
 def uniform_weights(params: LBMParams) -> np.ndarray:
@@ -66,8 +66,6 @@ def accelerate_flow(
     west-side populations stay strictly positive after the kick
     (``kernels.cl:29-33``).
     """
-    from lbm_tpu.ops.lattice import kick_scale
-
     r = f[:, row, :]  # [9, nx]
     ok = (
         (~obstacles_row)
