@@ -245,6 +245,36 @@ def test_bench_sharded_smoke(eight_devices, capsys):
     assert payload["value"] > 0
     assert np.isfinite(payload["av_last"])
 
+
+def test_bench_sharded_2d_mesh_smoke(eight_devices, capsys):
+    """The harness's 2-D mesh mode (--mesh PYxPX with an explicit
+    temporal split) — the BASELINE weak-scaling drive surface — runs on
+    the virtual mesh (interpret mode auto-selected off-TPU), reports the
+    split's chunk and the two-ring ICI byte accounting."""
+    import json
+
+    from tools.bench_sharded import main
+
+    rc = main(
+        [
+            "--mesh", "2x2",
+            "--ny", "64",
+            "--nx", "256",
+            "--max-iters", "12",
+            "--kernel", "temporal",
+            "--temporal-split", "8x2",
+            "--repeats", "1",
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["shards"] == 4
+    assert payload["kernel"] == "temporal"
+    assert payload["chunk"] == 2
+    # both rings cross devices on a 2x2 mesh -> nonzero y AND x bytes
+    assert payload["ici_bytes_per_step_per_shard"] > 0
+    assert np.isfinite(payload["av_last"])
+
     # 2-D mesh mode with an explicit temporal split (interpret-free jnp
     # path would be the CPU route, so force the split through temporal
     # validation only — kernel='reference' ignores it).
