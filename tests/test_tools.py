@@ -59,3 +59,29 @@ def test_ablated_modes_match_the_production_carry(interpret_pallas):
         if mode == "collide":
             (fp, *_), _av = prog.step(prog.init(init_cells(params)))
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fp))
+
+
+def test_bench_all_golden_series_falls_back_to_vendored(monkeypatch, tmp_path):
+    """bench_all's drift gate works without the reference mount: it falls
+    back to the vendored full-length fp64 goldens, and refuses prefixes
+    (a short series cannot gate full-length drift)."""
+    ba = _load("bench_all")
+    monkeypatch.setattr(ba, "GOLDEN_DIR", tmp_path / "no_reference")
+
+    vendored = ba.golden_series("128x128", 40000)
+    assert vendored is not None and vendored.size == 40000
+
+    # Wrong length -> None (never a silent prefix comparison).
+    assert ba.golden_series("128x128", 99999) is None
+    # Unknown case -> None.
+    assert ba.golden_series("7x7", 100) is None
+
+
+def test_bench_all_golden_series_prefers_reference(reference_dir):
+    """With the mount present, the reference's own golden wins."""
+    ba = _load("bench_all")
+    golden = ba.golden_series("128x128", 40000)
+    ref = np.loadtxt(
+        reference_dir / "check" / "128x128.av_vels.dat", usecols=[1]
+    )
+    np.testing.assert_array_equal(golden, ref)

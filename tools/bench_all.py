@@ -3,8 +3,9 @@
 
 The programmatic analog of the reference report's benchmark tables
 (`report.odt`): per-case wall time, MLUPS, speedup vs the reference's
-published Tesla K20m numbers, checker deviation vs goldens (when the
-reference checkout is available), and the Reynolds invariant.
+published Tesla K20m numbers, checker deviation vs goldens (the
+reference's when mounted, else the vendored full-length fp64 goldens),
+and the Reynolds invariant.
 
 Usage: python tools/bench_all.py [--repeats N] [--markdown]
 """
@@ -31,6 +32,23 @@ REFERENCE_SECONDS = {
     "1024x1024": 11.69,
 }
 GOLDEN_DIR = pathlib.Path("/root/reference/check")
+# Self-contained fallback: the vendored fp64-engine goldens are
+# full-length for every case (tools/gen_goldens.py), so the drift gate
+# works with the reference mount absent.
+VENDORED_DIR = pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
+
+
+def golden_series(case: str, max_iters: int) -> np.ndarray | None:
+    """Full-length golden av_vels for ``case``: the reference's when
+    mounted, else the vendored fp64-engine series — but only when it
+    covers the whole run (a prefix cannot gate full-length drift)."""
+    golden_path = GOLDEN_DIR / f"{case}.av_vels.dat"
+    if not golden_path.exists():
+        golden_path = VENDORED_DIR / f"{case}.fp64gen_av_vels.dat"
+    if not golden_path.exists():
+        return None
+    golden = np.loadtxt(golden_path, usecols=[1])
+    return golden if golden.size == max_iters else None
 
 
 def bench_case(case: str, repeats: int) -> dict:
@@ -52,9 +70,8 @@ def bench_case(case: str, repeats: int) -> dict:
         "av_finite": bool(np.isfinite(best.av_vels).all()),
         "max_diff_pct": float("nan"),
     }
-    golden_path = GOLDEN_DIR / f"{case}.av_vels.dat"
-    if golden_path.exists():
-        golden = np.loadtxt(golden_path, usecols=[1])
+    golden = golden_series(case, params.max_iters)
+    if golden is not None:
         row["max_diff_pct"] = float(
             (np.abs((golden - best.av_vels) / golden) * 100).max()
         )
