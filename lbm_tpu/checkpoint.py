@@ -203,7 +203,12 @@ def _load_sharded(directory: pathlib.Path) -> Checkpoint | None:
     if meta.get("version") != 2:
         raise ValueError(f"unsupported checkpoint version in {meta_path}")
     params = LBMParams(**meta["params"])
-    f = np.full((9, params.ny, params.nx), np.nan, dtype=np.float32)
+    f = np.empty((9, params.ny, params.nx), dtype=np.float32)
+    # Coverage is tracked with an explicit mask, NOT a NaN sentinel in f:
+    # a diverged-but-structurally-valid run legitimately has NaN in its
+    # state, and its snapshot must load (so the user can inspect it)
+    # rather than be rejected as "missing shard files".
+    covered = np.zeros((params.ny, params.nx), dtype=bool)
     for e in meta["shards"]:
         with np.load(directory / e["file"]) as data:
             slab = data["f_local"]
@@ -211,9 +216,11 @@ def _load_sharded(directory: pathlib.Path) -> Checkpoint | None:
             raise ValueError(
                 f"shard {e['file']}: shape {slab.shape} != meta {e['shape']}"
             )
-        f[:, e["y0"] : e["y0"] + slab.shape[1],
-          e["x0"] : e["x0"] + slab.shape[2]] = slab
-    if np.isnan(f).any():
+        ys = slice(e["y0"], e["y0"] + slab.shape[1])
+        xs = slice(e["x0"], e["x0"] + slab.shape[2])
+        f[:, ys, xs] = slab
+        covered[ys, xs] = True
+    if not covered.all():
         raise ValueError(
             f"sharded checkpoint in {directory} does not tile the full "
             f"{params.ny}x{params.nx} grid (missing/corrupt shard files)"

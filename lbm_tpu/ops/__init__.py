@@ -5,6 +5,7 @@ from lbm_tpu.ops.reference import (
     accelerate_flow,
     collide,
     init_cells,
+    make_masked_step_fn,
     make_step_fn,
     macroscopic,
     stream,
@@ -20,6 +21,7 @@ __all__ = [
     "collide",
     "init_cells",
     "macroscopic",
+    "make_masked_step_fn",
     "make_step_fn",
     "stream",
 ]

@@ -1854,20 +1854,30 @@ def build_mega_program(
         interpret=interpret,
     )
 
-    def init(f):
+    def init(f, maskext=None):
+        # The extended mask rides the carry as a runtime operand (the
+        # mask-literal rule: an embedded [P, BY+2K, nx] literal blows the
+        # remote compile service's request limit at giant grids — same
+        # HTTP-413 mode the temporal programs fixed via ``consts``).
+        if maskext is None:
+            maskext = jnp.asarray(maskext_host)
         gs = jnp.stack(
             [f[:, rows, :] for rows in south_rows]
         )  # [P, 9, K, nx]
         gn = jnp.stack([f[:, rows, :] for rows in north_rows])
-        return (f, gs, gn)
+        return (f, gs, gn, maskext)
 
     def step(carry):
-        f, gs, gn = carry
-        f_new, gs_new, gn_new, avs = call(f, gs, gn, jnp.asarray(maskext_host))
-        return (f_new, gs_new, gn_new), avs[:, 0] * fcinv
+        f, gs, gn, maskext = carry
+        f_new, gs_new, gn_new, avs = call(f, gs, gn, maskext)
+        return (f_new, gs_new, gn_new, maskext), avs[:, 0] * fcinv
 
     return StepProgram(
-        init=init, step=step, final=lambda c: c[0], chunk=chunk
+        init=init,
+        step=step,
+        final=lambda c: c[0],
+        chunk=chunk,
+        consts=(maskext_host,),
     )
 
 
@@ -2027,6 +2037,39 @@ def pick_chunk(max_iters: int, limit: int = 256) -> int:
     return best_any
 
 
+def make_reference_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+) -> StepProgram:
+    """Pure-jnp reference path wrapped as a StepProgram with the fluid
+    mask routed as a runtime operand (carried scan leaf seeded from
+    ``consts``), per the mask-literal rule — the jnp path is the level-2
+    compile fallback on TPU, so it must not itself embed a giant literal.
+    """
+    from lbm_tpu.ops.reference import make_masked_step_fn
+
+    fluid_host = ~np.asarray(obstacles, dtype=bool)
+    masked = make_masked_step_fn(params, free_cells_inv)
+
+    def init(f, fluid=None):
+        if fluid is None:
+            fluid = jnp.asarray(fluid_host)
+        return (f, fluid)
+
+    def step(carry):
+        f, fluid = carry
+        f_new, av = masked(f, fluid)
+        return (f_new, fluid), av
+
+    return StepProgram(
+        init=init,
+        step=step,
+        final=lambda carry: carry[0],
+        consts=(fluid_host,),
+    )
+
+
 def make_fused_program(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -2046,10 +2089,7 @@ def make_fused_program(
     """
     by = choose_block_rows(params.ny, params.nx)
     if by is None:
-        from lbm_tpu.ops.reference import make_step_fn
-
-        step = make_step_fn(params, obstacles, free_cells_inv)
-        return StepProgram(init=lambda f: f, step=step, final=lambda f: f)
+        return make_reference_program(params, obstacles, free_cells_inv)
     if (
         params.ny * params.nx <= _MULTISTEP_CELL_BUDGET
         and max_iters is not None

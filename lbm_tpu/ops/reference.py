@@ -158,10 +158,16 @@ def collide(
     return f_new, tot_u
 
 
-def make_step_fn(
-    params: LBMParams, obstacles: np.ndarray, free_cells_inv: np.float32
-) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
-    """Build ``step(f) -> (f_next, av_vel)`` for one timestep.
+def make_masked_step_fn(
+    params: LBMParams, free_cells_inv: np.float32
+) -> Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]:
+    """Build ``step(f, fluid) -> (f_next, av_vel)`` with the fluid mask as
+    a runtime OPERAND (bool [ny, nx], True = fluid).
+
+    This is the mask-literal-safe form: jitted drivers pass the mask as an
+    argument (``StepProgram.consts``), because a closure-embedded [ny, nx]
+    literal blows the remote compile service's request limit at giant
+    grids (HTTP 413 at 8192² — CLAUDE.md mask-literal rule).
 
     Order per step (reference ``main`` loop, ``d2q9-bgk.c:221-238``):
     accelerate_flow on the read buffer, then the fused
@@ -170,15 +176,30 @@ def make_step_fn(
     omega = np.float32(params.omega)
     w1, w2 = accel_weights(params)
     row = params.ny - 2
-    obstacles = np.asarray(obstacles, dtype=bool)
-    fluid_host = ~obstacles
     fcinv = np.float32(free_cells_inv)
 
-    def step(f: jax.Array) -> tuple[jax.Array, jax.Array]:
-        fluid = jnp.asarray(fluid_host)
-        f = accelerate_flow(f, jnp.asarray(obstacles[row]), w1, w2, row)
+    def step(f: jax.Array, fluid: jax.Array) -> tuple[jax.Array, jax.Array]:
+        f = accelerate_flow(f, ~fluid[row], w1, w2, row)
         tmp = stream(f)
         f_new, tot_u = collide(tmp, fluid, omega)
         return f_new, tot_u * fcinv
+
+    return step
+
+
+def make_step_fn(
+    params: LBMParams, obstacles: np.ndarray, free_cells_inv: np.float32
+) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
+    """Build ``step(f) -> (f_next, av_vel)`` for one timestep — the golden
+    single-argument form with the fluid mask embedded in the closure.
+    For ad-hoc/test use at ordinary sizes; production drivers route the
+    mask as a runtime operand via :func:`make_masked_step_fn` (see the
+    mask-literal rule there).
+    """
+    fluid_host = ~np.asarray(obstacles, dtype=bool)
+    masked = make_masked_step_fn(params, free_cells_inv)
+
+    def step(f: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return masked(f, jnp.asarray(fluid_host))
 
     return step

@@ -1351,15 +1351,34 @@ class ShardedSimulator:
                 # |u|/pressure are host
                 # derived (see runtime.raw_fields_fn — 3 planes instead of
                 # 4 over the slow device->host link).
+                # The fluid mask is a runtime OPERAND (device-put onto the
+                # mesh with f's spatial sharding), never a jit closure
+                # constant — the embedded [ny, nx] literal blows the
+                # remote compile service's request limit at giant grids
+                # (HTTP 413; the mask-literal rule, CLAUDE.md).
                 spec = jax.ShapeDtypeStruct(
                     (NSPEEDS, self.params.ny, self.params.nx),
                     jnp.float32,
                     sharding=sharding,
                 )
-                self._finalize = (
+                fluid_sharding = NamedSharding(
+                    self.mesh, P(*sharding.spec[1:])
+                )
+                fluid_spec = jax.ShapeDtypeStruct(
+                    (self.params.ny, self.params.nx),
+                    jnp.bool_,
+                    sharding=fluid_sharding,
+                )
+                exe = (
                     jax.jit(raw_fields_fn(self.params, self.obstacles))
-                    .lower(spec)
+                    .lower(spec, fluid_spec)
                     .compile()
+                )
+                fluid_dev = jax.device_put(
+                    ~np.asarray(self.obstacles, dtype=bool), fluid_sharding
+                )
+                self._finalize = functools.partial(
+                    (lambda _e, _m, f: _e(f, _m)), exe, fluid_dev
                 )
             finalize = self._finalize
         if self._init_compiled is None:

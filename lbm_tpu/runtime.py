@@ -30,7 +30,7 @@ import numpy as np
 from lbm_tpu import diagnostics
 from lbm_tpu.config import LBMParams
 from lbm_tpu.geometry import free_cells_of
-from lbm_tpu.ops.reference import init_cells, make_step_fn
+from lbm_tpu.ops.reference import init_cells
 
 StepFn = Callable[[jax.Array], tuple[jax.Array, jax.Array]]
 
@@ -122,11 +122,21 @@ def raw_fields_fn(params: LBMParams, obstacles: np.ndarray):
       below plottable differences.  av_vels stays fp32 end-to-end.
 
     u is masked to 0 on obstacle cells on device (``d2q9-bgk.c:789-836``
-    semantics)."""
-    density = float(np.float32(params.density))
-    fluid = jnp.asarray(~np.asarray(obstacles, dtype=bool))
+    semantics).
 
-    def fields(f):
+    The returned function takes an optional ``fluid`` operand (bool
+    [ny, nx]).  Jitted callers MUST pass it as a runtime argument — the
+    embedded-closure default lowers the mask to an HLO ``dense<"0x...">``
+    literal (~2 hex chars/element) and blows the remote compile service's
+    request limit at giant grids (HTTP 413 at 8192², the same failure the
+    step programs route around via ``StepProgram.consts``).  The default
+    exists for eager/small ad-hoc use only."""
+    density = float(np.float32(params.density))
+    fluid_host = ~np.asarray(obstacles, dtype=bool)
+
+    def fields(f, fluid=None):
+        if fluid is None:
+            fluid = jnp.asarray(fluid_host)
         rho = jnp.sum(f, axis=0)
         ux = jnp.where(fluid, (f[1] + f[5] + f[8] - f[3] - f[6] - f[7]) / rho, 0.0)
         uy = jnp.where(fluid, (f[2] + f[5] + f[6] - f[4] - f[7] - f[8]) / rho, 0.0)
@@ -193,7 +203,7 @@ def make_program(
     docs/PERF.md) and falls back to 'fused' when the grid admits no
     (BY, K, T) split.
     """
-    from lbm_tpu.ops.fused import StepProgram, make_fused_program
+    from lbm_tpu.ops.fused import make_fused_program
 
     if kernel == "auto":
         kernel = "fused" if jax.default_backend() == "tpu" else "reference"
@@ -238,8 +248,9 @@ def make_program(
             device_kind=device_kind,
         )
     if kernel == "reference":
-        step = make_step_fn(params, obstacles, free_cells_inv)
-        return StepProgram(init=lambda f: f, step=step, final=lambda f: f)
+        from lbm_tpu.ops.fused import make_reference_program
+
+        return make_reference_program(params, obstacles, free_cells_inv)
     raise ValueError(f"unknown kernel {kernel!r}")
 
 
@@ -336,21 +347,32 @@ class Simulator:
         )
         assert max_iters % program.chunk == 0
         self._chunks[max_iters] = program.chunk
+        n_pconsts = len(program.consts)
+        extra_consts: tuple = ()
         if readback == "fields" and program.final_fields is not None:
             # Programs with a non-f carry layout (x-tiled) derive the
             # payload per strip — composing raw_fields_fn(final(carry))
             # would materialize the un-tiled fp32 f next to the carry and
             # OOM at giant grids (see StepProgram.final_fields).
-            emit = program.final_fields
+            def emit(carry):
+                return program.final_fields(carry)
+
+        elif readback == "fields":
+            # The fluid mask rides as a runtime operand (appended to the
+            # program consts), never as a jit closure constant — an
+            # embedded [ny, nx] bool literal blows the remote compile
+            # service's request limit at giant grids (HTTP 413; the
+            # mask-literal rule, see raw_fields_fn).
+            finalize = raw_fields_fn(self.params, self.obstacles)
+            extra_consts = (np.asarray(~self.obstacles, dtype=bool),)
+
+            def emit(carry, fluid):
+                return finalize(program.final(carry), fluid)
+
         else:
-            finalize = (
-                raw_fields_fn(self.params, self.obstacles)
-                if readback == "fields"
-                else (lambda f: f)
-            )
 
             def emit(carry):
-                return finalize(program.final(carry))
+                return program.final(carry)
 
         def body(carry, _):
             carry, av = program.step(carry)
@@ -365,19 +387,20 @@ class Simulator:
             @functools.partial(jax.jit, donate_argnums=donate)
             def run_scan(f0, *consts):
                 # Large static operands (e.g. the temporal program's
-                # extended mask) enter as ARGUMENTS, not closure constants:
-                # an embedded multi-hundred-MB literal blows the remote
-                # compile service's request limit at big grids (HTTP 413
-                # at 8192^2).
+                # extended mask, the fields readback's fluid mask) enter
+                # as ARGUMENTS, not closure constants: an embedded
+                # multi-hundred-MB literal blows the remote compile
+                # service's request limit at big grids (HTTP 413 at
+                # 8192^2).
                 carry, av = jax.lax.scan(
                     body,
-                    program.init(f0, *consts),
+                    program.init(f0, *consts[:n_pconsts]),
                     None,
                     length=max_iters // program.chunk,
                 )
                 if self._collect and program.chunk > 1:
                     av = av.reshape(max_iters)
-                return emit(carry), av
+                return emit(carry, *consts[n_pconsts:]), av
 
         else:
             init0 = program.init0 or (
@@ -391,15 +414,15 @@ class Simulator:
             def run_scan(*consts):
                 carry, av = jax.lax.scan(
                     body,
-                    init0(*consts),
+                    init0(*consts[:n_pconsts]),
                     None,
                     length=max_iters // program.chunk,
                 )
                 if self._collect and program.chunk > 1:
                     av = av.reshape(max_iters)
-                return emit(carry), av
+                return emit(carry, *consts[n_pconsts:]), av
 
-        run_scan.consts = program.consts
+        run_scan.consts = (*program.consts, *extra_consts)
         return run_scan
 
     def compiled(self, max_iters: int | None = None, readback: str = "state",
@@ -655,8 +678,7 @@ class Simulator:
             self.params.ny, self.params.nx, hbm_budget_gib(self.device)
         ):
             pkey = min(every, max_iters) or None
-            program = self._ckpt_programs.get(pkey)
-            if program is None:
+            if pkey not in self._ckpt_programs:
                 program = make_program(
                     self.params,
                     self.obstacles,
@@ -665,8 +687,17 @@ class Simulator:
                     max_iters=pkey,
                     device_kind=self.device.device_kind,
                 )
-                self._ckpt_programs[pkey] = program
-            if program.checkpoint_io is not None:
+                # Cache None (not the program) when the schedule has no
+                # carry-resident checkpoint hooks: retaining it would pin
+                # its ~grid-sized host maskext for the Simulator's
+                # lifetime while the f-interchange fallback below builds
+                # its own programs anyway.  The None sentinel still makes
+                # the probe once-per-segment-length, not once-per-call.
+                self._ckpt_programs[pkey] = (
+                    program if program.checkpoint_io is not None else None
+                )
+            program = self._ckpt_programs[pkey]
+            if program is not None:
                 return self._run_checkpointed_carry(
                     program, checkpoint_dir, every, max_iters, resume
                 )
@@ -776,16 +807,26 @@ class Simulator:
             # donating the carry into the segment executable is safe (a
             # jitted init0 would CSE the duplicate ghost broadcasts back
             # into one buffer — the double-donation dispatch rejection).
-            mask_dev = jax.device_put(
-                np.asarray(program.consts[0]), self.device
-            )
-            return program.init0(mask_dev)
+            # default_device pins the eager broadcasts to the BOUND
+            # device: on a multi-device host the multi-GiB carry must
+            # never materialize on devices[0] and ride a silent
+            # cross-device copy into the (device-pinned) segment
+            # executable — that copy can itself exhaust the wrong chip's
+            # HBM at exactly the capacity regime this driver serves.
+            with jax.default_device(self.device):
+                mask_dev = jax.device_put(
+                    np.asarray(program.consts[0]), self.device
+                )
+                return program.init0(mask_dev)
 
         def run_segment(seg, c0):
             if c0 is None:
                 carry = fresh_carry()
             elif isinstance(c0, np.ndarray):  # resumed snapshot (host f)
-                carry = io.from_f_host(c0)
+                # Same bound-device pinning as fresh_carry (from_f_host's
+                # eager relayout would otherwise land on devices[0]).
+                with jax.default_device(self.device):
+                    carry = io.from_f_host(c0)
             else:  # previous segment's on-device carry
                 carry = c0
             carry, av = seg_exe(seg)(carry)

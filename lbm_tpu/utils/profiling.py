@@ -48,27 +48,30 @@ class PerfReport:
     def cell_updates(self) -> int:
         return self.nx * self.ny * self.steps
 
-    @property
-    def _elapsed_safe(self) -> float:
+    def _rate(self, quantity: float) -> float:
         # A zero-step run (max_iters=0 is valid) or sub-timer-resolution
         # elapsed must not crash a report; same convention as
-        # diagnostics.ResultMetrics.mlups (rate -> inf, not an exception).
-        return self.elapsed if self.elapsed > 0.0 else float("inf")
+        # diagnostics.ResultMetrics.mlups: rate -> inf when elapsed is 0,
+        # not an exception and not a spurious 0 (a 0 would make a
+        # faster-than-the-timer run read as "no throughput").
+        if self.elapsed > 0.0:
+            return quantity / self.elapsed
+        return float("inf")
 
     @property
     def mlups(self) -> float:
-        return self.cell_updates / self._elapsed_safe / 1e6
+        return self._rate(self.cell_updates) / 1e6
 
     @property
     def effective_bandwidth_gbs(self) -> float:
         """Nominal HBM bytes/s of the compiled kernel variant (ghost-slab
         traffic of the chunked kernels, a few rows per pass, is ignored)."""
         per_step = BYTES_PER_CELL / self.steps_per_pass
-        return self.cell_updates * per_step / self._elapsed_safe / 1e9
+        return self._rate(self.cell_updates * per_step) / 1e9
 
     @property
     def effective_gflops(self) -> float:
-        return self.cell_updates * FLOPS_PER_CELL / self._elapsed_safe / 1e9
+        return self._rate(self.cell_updates * FLOPS_PER_CELL) / 1e9
 
     def summary(self) -> str:
         return (

@@ -444,3 +444,29 @@ def test_giant_grid_carry_checkpoint_rejects_misaligned_resume(
         Simulator(params, obstacles, kernel="fused").run_checkpointed(
             tmp_path, every=4
         )
+
+
+def test_sharded_load_accepts_nan_state(tmp_path):
+    """A structurally complete snapshot of a DIVERGED run (NaN in f) must
+    load — coverage is tracked with an explicit tile mask, not a NaN
+    sentinel, so a legitimate non-finite state isn't misreported as
+    'missing shard files'."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.parallel.sharded import AXIS, NamedSharding, P, default_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    obstacles = channel_box(64, 32)
+    mesh = default_mesh(2)
+    f = np.random.default_rng(0).standard_normal((9, 32, 64)).astype(np.float32)
+    f[4, 17, 3] = np.nan  # the diverged cell
+    f_dev = jax.device_put(
+        jnp.asarray(f), NamedSharding(mesh, P(None, AXIS, None))
+    )
+    av = np.zeros(8, np.float32)
+    ckpt.save_sharded(tmp_path, PARAMS, obstacles, 8, f_dev, av)
+    loaded = ckpt.load(tmp_path)
+    assert loaded is not None and loaded.step == 8
+    np.testing.assert_array_equal(loaded.f, f)  # NaN included, bit-exact

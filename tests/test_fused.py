@@ -550,3 +550,72 @@ def test_xtiled_checkpoint_io_roundtrip_random():
     f = rng.standard_normal((9, 16, 64)).astype(np.float32)
     io = prog.checkpoint_io
     np.testing.assert_array_equal(io.to_f_host(io.from_f_host(f)), f)
+
+
+def _big_dense_lines(text, threshold=4096):
+    # MLIR hex-prints int8/bool literals at ~2 chars/element; legit
+    # constants (splats, index vectors) stay far under the threshold.
+    return [
+        ln for ln in text.splitlines() if "dense" in ln and len(ln) > threshold
+    ]
+
+
+def test_single_chip_run_program_routes_masks_as_operands():
+    """The full single-chip run program (every fallback level, both
+    readback modes) must not embed any [ny, nx]-sized mask as an HLO
+    literal — the fields payload's fluid mask and the jnp reference
+    path's obstacle mask included (the mask-literal rule: an embedded
+    literal blows the remote compile service's request limit at giant
+    grids, HTTP 413 at 8192²)."""
+    from lbm_tpu.runtime import Simulator
+
+    params = LBMParams(128, 64, 4, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(128, 64, interior_row=31)
+    sim = Simulator(params, obstacles, kernel="reference")
+    f_spec = jax.ShapeDtypeStruct((9, 64, 128), jnp.float32)
+    for readback in ("state", "fields"):
+        for level in (0, 2):
+            fn = sim._build(4, fallback_level=level, readback=readback)
+            cspecs = [
+                jax.ShapeDtypeStruct(np.asarray(c).shape, np.asarray(c).dtype)
+                for c in fn.consts
+            ]
+            text = fn.lower(f_spec, *cspecs).as_text()
+            big = _big_dense_lines(text)
+            assert not big, (
+                f"{readback}/level{level} leaked a dense mask literal: "
+                f"{big[0][:120]}"
+            )
+
+
+def test_mega_program_routes_mask_as_const():
+    """The megakernel program must route its extended mask through
+    StepProgram.consts (runtime operand), and the const-fed carry must
+    agree with the embed-default path."""
+    from lbm_tpu.ops.fused import build_mega_program
+
+    params = LBMParams(128, 32, 8, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(128, 32, interior_row=13)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    prog = build_mega_program(
+        params, obstacles, fcinv, by=8, ksteps=4, tpasses=1, interpret=True
+    )
+    assert prog.consts, "mega program must expose its mask as a const"
+    maskext = prog.consts[0]
+    f0 = init_cells(params)
+
+    def run1(f, m):
+        carry, av = prog.step(prog.init(f, m))
+        return prog.final(carry), av
+
+    m_spec = jax.ShapeDtypeStruct(maskext.shape, maskext.dtype)
+    f_spec = jax.ShapeDtypeStruct(f0.shape, f0.dtype)
+    text = jax.jit(run1).lower(f_spec, m_spec).as_text()
+    big = _big_dense_lines(text)
+    assert not big, f"mega leaked a dense mask literal: {big[0][:120]}"
+
+    f_const, av_const = jax.jit(run1)(f0, jnp.asarray(maskext))
+    carry = prog.init(init_cells(params))  # embed-default path
+    carry, av_embed = prog.step(carry)
+    np.testing.assert_array_equal(np.asarray(f_const), np.asarray(prog.final(carry)))
+    np.testing.assert_array_equal(np.asarray(av_const), np.asarray(av_embed))

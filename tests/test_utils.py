@@ -52,3 +52,12 @@ def test_plot_tool(tmp_path):
     out = tmp_path / "plot.png"
     assert plot_main([str(fs), str(out)]) == 0
     assert out.stat().st_size > 0
+
+
+def test_perfreport_zero_elapsed_rates_are_inf():
+    """Sub-timer-resolution elapsed must follow the ResultMetrics
+    convention (rate -> inf), not collapse to a spurious 0 MLUPS."""
+    r = PerfReport(nx=64, ny=64, steps=10, elapsed=0.0)
+    assert r.mlups == float("inf")
+    assert r.effective_bandwidth_gbs == float("inf")
+    assert r.effective_gflops == float("inf")
