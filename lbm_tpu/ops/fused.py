@@ -1608,8 +1608,8 @@ def _step_kernel_mega(
     avs_ref,  # SMEM [T*K, 1]
     win,  # VMEM scratch (2, 9, BY, nx): center in/out staging
     ghosts,  # VMEM scratch (2, 2, P, 9, K, nx): parity x (south, north)
-    sem_in,  # DMA (2,)
-    sem_out,  # DMA (2,)
+    sem_in,  # DMA (ring,)
+    sem_out,  # DMA (ring,)
     sem_misc,  # DMA (4,)
     *,
     by: int,
@@ -1620,6 +1620,7 @@ def _step_kernel_mega(
     omega: float,
     aw1: float,
     aw2: float,
+    ring: int = 2,
 ):
     """Megakernel: ``tpasses`` temporal K-passes over the whole grid in ONE
     pallas_call, with manually pipelined DMA.
@@ -1639,10 +1640,21 @@ def _step_kernel_mega(
 
     * prefetch(j+1) reads rows of block (i+1)%P at the state written in
       pass p-1 (or p for the wrap into the next pass) — always a region
-      whose writeback completed >= P-1 iterations earlier (P >= 2);
-    * writeback(j) and prefetch(j+1) touch disjoint row bands;
-    * the buffer-reuse waits (sem_out) guarantee writeback(j-1) has
-      landed before win[(j+1)%2] is overwritten by prefetch(j+1).
+      whose writeback completed >= P-1 iterations earlier (P >= ring);
+    * the up-to-(ring-1) in-flight writebacks (iterations j-ring+2..j)
+      and prefetch(j+1) touch pairwise disjoint row bands whenever
+      P >= ring (block indices differ mod P);
+    * the buffer-reuse waits (sem_out) guarantee writeback(j+1-ring) has
+      landed before win[(j+1)%ring] is overwritten by prefetch(j+1).
+
+    ``ring`` is the staging-buffer depth.  ring=2 (classic double
+    buffering) leaves the writeback fully EXPOSED: it starts at the
+    bottom of iteration j and is waited as the first op of j+1, because
+    prefetch(j+1) reuses the very slot writeback(j-1) drained into.
+    ring=3 gives each writeback two full compute iterations to retire
+    behind the next blocks' compute (~9*BY*nx*4 bytes hidden per block).
+    Requires P >= ring for the disjointness argument above — the builder
+    picks ring = 3 when grid_p >= 3, else 2.
 
     Ghost slabs never touch HBM during the call: they live in a
     parity-double-buffered VMEM scratch (pass p reads parity p%2, writes
@@ -1683,19 +1695,23 @@ def _step_kernel_mega(
     def loop(j, carry):
         p = jax.lax.div(j, grid_p)
         i = jax.lax.rem(j, grid_p)
-        slot = jax.lax.rem(j, 2)
-        other = jax.lax.rem(j + 1, 2)
+        slot = jax.lax.rem(j, ring)
+        nxt = jax.lax.rem(j + 1, ring)
         par = jax.lax.rem(p, 2)
         npar = jax.lax.rem(p + 1, 2)
 
-        # Free the other staging buffer (writeback j-1), then prefetch j+1.
-        @pl.when(j >= 1)
+        # Free the prefetch target slot: wait writeback(j+1-ring), the
+        # iteration that last used slot (j+1)%ring.  With ring=2 this is
+        # writeback(j-1) — fully exposed; with ring=3 it is
+        # writeback(j-2), which had two compute iterations to retire.
+        @pl.when(j >= ring - 1)
         def _():
-            dma_out(jax.lax.rem(j - 1, grid_p), other).wait()
+            jj = j - (ring - 1)
+            dma_out(jax.lax.rem(jj, grid_p), nxt).wait()
 
         @pl.when(j + 1 < total)
         def _():
-            dma_in(jax.lax.rem(j + 1, grid_p), other).start()
+            dma_in(jax.lax.rem(j + 1, grid_p), nxt).start()
 
         dma_in(i, slot).wait()
 
@@ -1745,7 +1761,10 @@ def _step_kernel_mega(
         return carry
 
     jax.lax.fori_loop(0, total, loop, 0)
-    dma_out((total - 1) % grid_p, jax.lax.rem(total - 1, 2)).wait()
+    # Drain the writebacks whose buffer-reuse wait never ran: the last
+    # ring-1 iterations' (the loop waits writeback(j+1-ring) only).
+    for jj in range(max(0, total - ring + 1), total):
+        dma_out(jj % grid_p, jj % ring).wait()
 
     # --- flush final ghost state -------------------------------------------
     fpar = tpasses % 2
@@ -1780,6 +1799,11 @@ def build_mega_program(
         raise ValueError("megakernel needs >= 2 row blocks")
     if not 2 <= ksteps <= by - 2:
         raise ValueError(f"need 2 <= K <= BY-2, got K={ksteps}, BY={by}")
+    # Staging ring depth: 3 hides the center-block writeback behind the
+    # next two blocks' compute; the in-place disjointness proof needs
+    # grid_p >= ring (see _step_kernel_mega), so 2-block grids keep the
+    # classic (writeback-exposed) double buffer.
+    ring = 3 if grid_p >= 3 else 2
     aw1, aw2 = accel_weights(params)
     fcinv = np.float32(free_cells_inv)
     fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.int8)
@@ -1811,6 +1835,7 @@ def build_mega_program(
             omega=float(np.float32(params.omega)),
             aw1=float(aw1),
             aw2=float(aw2),
+            ring=ring,
         ),
         grid=(1,),
         in_specs=[
@@ -1836,10 +1861,10 @@ def build_mega_program(
             jax.ShapeDtypeStruct((chunk, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NSPEEDS, by, nx), jnp.float32),
+            pltpu.VMEM((ring, NSPEEDS, by, nx), jnp.float32),
             pltpu.VMEM((2, 2, grid_p, NSPEEDS, ksteps, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((ring,)),
+            pltpu.SemaphoreType.DMA((ring,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         cost_estimate=pl.CostEstimate(

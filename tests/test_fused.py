@@ -619,3 +619,27 @@ def test_mega_program_routes_mask_as_const():
     carry, av_embed = prog.step(carry)
     np.testing.assert_array_equal(np.asarray(f_const), np.asarray(prog.final(carry)))
     np.testing.assert_array_equal(np.asarray(av_const), np.asarray(av_embed))
+
+
+def test_megakernel_two_blocks_ring2():
+    """grid_p == 2 forces the 2-slot staging ring (the 3-slot ring's
+    in-place disjointness proof needs P >= ring); must still match the
+    reference step."""
+    from lbm_tpu.ops.fused import build_mega_program
+
+    params = LBMParams(128, 32, 8, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(128, 32, interior_row=13)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    f = init_cells(params)
+    for _ in range(8):
+        f, _ = ref(f)
+    prog = build_mega_program(
+        params, obstacles, fcinv, by=16, ksteps=4, tpasses=2, interpret=True
+    )
+    carry = prog.init(jnp.asarray(init_cells(params)))
+    for _ in range(8 // prog.chunk):
+        carry, _ = prog.step(carry)
+    np.testing.assert_allclose(
+        np.asarray(prog.final(carry)), np.asarray(f), rtol=1e-5, atol=1e-7
+    )
