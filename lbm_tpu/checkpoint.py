@@ -83,6 +83,23 @@ def _av_prefix(av_vels, step: int) -> np.ndarray:
     return av[:step]
 
 
+def _prune_stale(directory: pathlib.Path, keep: set[str]) -> None:
+    """Remove every ``lbm_checkpoint*`` file not in the committed set.
+
+    Runs strictly AFTER the commit rename, so a crash anywhere in here
+    only leaves extra files, never an inconsistent snapshot.  Matching
+    the whole prefix (not just ``*.npz``) also collects orphaned
+    ``*.tmp`` staging files from an earlier crashed save — shard tmps
+    are step-stamped and multi-hundred-MB at giant grids, so without
+    this they would accumulate unboundedly across crash/resume cycles.
+    A run owns its checkpoint directory (concurrent savers into one
+    directory are not supported), so no live writer's tmp can be here.
+    """
+    for p in directory.glob("lbm_checkpoint*"):
+        if p.name not in keep and p.is_file():
+            p.unlink(missing_ok=True)
+
+
 def save(
     directory: str | pathlib.Path,
     params: LBMParams,
@@ -113,11 +130,10 @@ def save(
             av_vels=av,
         )
     tmp.replace(path)
-    # A stale v2 meta alongside would shadow this snapshot (load() prefers
-    # v2); remove the whole v2 set.
-    (directory / META_FILENAME).unlink(missing_ok=True)
-    for p in directory.glob("lbm_checkpoint.step*.shard*.npz"):
-        p.unlink(missing_ok=True)
+    # A v2 set alongside is now stale (load() resolves v1-vs-v2 by
+    # committed step, so even if this prune never runs — crash right
+    # here — the newer v1 wins on the next resume).
+    _prune_stale(directory, keep={FILENAME})
     return path
 
 
@@ -184,14 +200,10 @@ def save_sharded(
     meta_tmp = directory / (META_FILENAME + ".tmp")
     meta_tmp.write_text(json.dumps(meta, indent=1) + "\n")
     meta_tmp.replace(meta_path)
-    # Committed: prune shard files from other steps (and any v1 snapshot —
-    # load() prefers v2, a stale v1 alongside would shadow nothing but
-    # waste space and confuse humans).
-    keep = {e["file"] for e in entries}
-    for p in directory.glob("lbm_checkpoint.step*.shard*.npz"):
-        if p.name not in keep:
-            p.unlink(missing_ok=True)
-    (directory / FILENAME).unlink(missing_ok=True)
+    # Committed: prune shard files from other steps, any (now stale) v1
+    # snapshot, and tmp orphans from earlier crashed saves.
+    keep = {e["file"] for e in entries} | {AV_FILENAME, META_FILENAME}
+    _prune_stale(directory, keep=keep)
     return meta_path
 
 
@@ -249,12 +261,27 @@ def _load_sharded(directory: pathlib.Path) -> Checkpoint | None:
 
 
 def load(directory: str | pathlib.Path) -> Checkpoint | None:
-    """Load the checkpoint in ``directory`` (v2 sharded layout preferred,
-    v1 single-``.npz`` fallback), or None if absent."""
+    """Load the checkpoint in ``directory``, or None if absent.
+
+    When BOTH layouts are present the one with the higher committed step
+    wins (ties: v2).  Both-present happens only in one crash window —
+    the stale-layout prune at the end of a save that switched layouts
+    never ran — and resolving by step means neither save order can
+    shadow a newer committed snapshot with an older one (e.g. a v1
+    ``save`` that crashed right after its rename, before pruning the
+    older v2 set, must resume from the newer v1).
+    """
     directory = pathlib.Path(directory)
     sharded = _load_sharded(directory)
+    single = _load_v1(directory)
+    if sharded is not None and single is not None:
+        return single if single.step > sharded.step else sharded
     if sharded is not None:
         return sharded
+    return single
+
+
+def _load_v1(directory: pathlib.Path) -> Checkpoint | None:
     path = directory / FILENAME
     if not path.exists():
         return None

@@ -644,12 +644,27 @@ def build_multi_step_program(
         interpret=interpret,
     )
 
-    def step(f):
-        f_new, avs = call(f, jnp.asarray(fluid_host))
-        return f_new, avs[:, 0] * fcinv
+    # The mask rides the carry as a runtime argument when the driver
+    # supplies it (StepProgram.consts) — same rule as every sibling
+    # schedule: an embedded giant-grid mask literal blows the remote
+    # compile service's request limit.  The multi-step cell budget keeps
+    # grids small today, but the invariant is categorical (CLAUDE.md).
+    def init(f, fluid=None):
+        if fluid is None:
+            fluid = jnp.asarray(fluid_host)
+        return (f, fluid)
+
+    def step(carry):
+        f, fluid = carry
+        f_new, avs = call(f, fluid)
+        return (f_new, fluid), avs[:, 0] * fcinv
 
     return StepProgram(
-        init=lambda f: f, step=step, final=lambda f: f, chunk=steps
+        init=init,
+        step=step,
+        final=lambda c: c[0],
+        chunk=steps,
+        consts=(fluid_host,),
     )
 
 

@@ -1394,11 +1394,23 @@ class ShardedSimulator:
             )
 
         tic = time.perf_counter()
-        f0 = (
-            self._init_compiled()
-            if f0 is None
-            else jax.device_put(jnp.asarray(f0, jnp.float32), sharding)
-        )
+        if f0 is None:
+            f0 = self._init_compiled()
+        elif isinstance(f0, jax.Array):
+            # Already on device (checkpointed segments feed the previous
+            # segment's sharded f straight back in) — re-lay it out on the
+            # mesh without a host roundtrip.
+            if f0.dtype != jnp.float32:
+                f0 = f0.astype(jnp.float32)
+            f0 = jax.device_put(f0, sharding)
+        else:
+            # Direct host->mesh upload: jnp.asarray first would
+            # materialize the full global array on the DEFAULT device and
+            # pay a device-to-device re-shard copy on top (f-sized:
+            # 2.25 GiB at 8192^2 — exactly the resume-from-per-shard-
+            # checkpoint sizes this path serves).  Same hazard/fix as
+            # Simulator.run's from_f0 upload.
+            f0 = jax.device_put(np.asarray(f0, np.float32), sharding)
         f_fin, av = fn(f0)
         if readback == "device":
             # f stays sharded on the mesh (checkpointed segments feed it
@@ -1469,6 +1481,13 @@ class ShardedSimulator:
         )
         if f is None:
             return self.run(max_iters=0)
+        if not isinstance(f, np.ndarray):
+            # f is still sharded on the mesh, but the per-shard snapshot
+            # committed just above holds exactly this state — reassemble
+            # it from the LOCAL shard files instead of gathering the
+            # global device array through the ~30 MB/s host link a second
+            # time (the snapshot already pulled every slab once).
+            f = ckpt.load(checkpoint_dir).f
         return ShardedRunResult(
             params=dataclasses.replace(self.params, max_iters=max_iters),
             f=np.asarray(f),

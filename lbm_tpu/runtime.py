@@ -722,6 +722,15 @@ class Simulator:
         )
         if f is None:  # zero remaining work and nothing checkpointed
             return self.run(max_iters=0)
+        if not isinstance(f, np.ndarray):
+            # f is the last segment's on-device array, but the snapshot
+            # committed just above holds exactly this state — read it
+            # back from LOCAL DISK instead of paying a second full fetch
+            # of the device array through the ~30 MB/s host link (at
+            # 8192² that second fetch is ~75 s of pure waste).
+            from lbm_tpu import checkpoint as ckpt
+
+            f = ckpt.load(checkpoint_dir).f
         return RunResult(
             params=dataclasses.replace(self.params, max_iters=max_iters),
             f=np.asarray(f),

@@ -470,3 +470,71 @@ def test_sharded_load_accepts_nan_state(tmp_path):
     loaded = ckpt.load(tmp_path)
     assert loaded is not None and loaded.step == 8
     np.testing.assert_array_equal(loaded.f, f)  # NaN included, bit-exact
+
+
+def test_load_prefers_newer_step_across_formats(tmp_path):
+    """A save that switched layouts and crashed right after its commit
+    rename — before pruning the other layout's (older) set — must
+    resume from the NEWER snapshot: load() resolves v1-vs-v2 by
+    committed step, not by format preference."""
+    import shutil
+
+    import jax.numpy as jnp
+
+    obs = channel_box(64, 32)
+    rng = np.random.default_rng(1)
+    f8 = rng.standard_normal((9, 32, 64)).astype(np.float32)
+    f16 = rng.standard_normal((9, 32, 64)).astype(np.float32)
+    av16 = np.arange(16, dtype=np.float32)
+
+    # v2 committed at step 8, then a v1 save at step 16 whose stale-v2
+    # prune "crashed" (simulated by writing the v1 file elsewhere and
+    # copying only the committed snapshot in).
+    ckpt.save_sharded(tmp_path, PARAMS, obs, 8, jnp.asarray(f8), av16[:8])
+    side = tmp_path / "side"
+    ckpt.save(side, PARAMS, obs, 16, f16, av16)
+    shutil.copy(side / ckpt.FILENAME, tmp_path / ckpt.FILENAME)
+    loaded = ckpt.load(tmp_path)
+    assert loaded.step == 16
+    np.testing.assert_array_equal(loaded.f, f16)
+
+    # Mirror image: stale v1 at a LOWER step than the committed v2.
+    d2 = tmp_path / "v2newer"
+    ckpt.save(d2, PARAMS, obs, 8, f8, av16[:8])
+    v1_file = (d2 / ckpt.FILENAME).read_bytes()
+    ckpt.save_sharded(d2, PARAMS, obs, 16, jnp.asarray(f16), av16)
+    (d2 / ckpt.FILENAME).write_bytes(v1_file)  # resurrect the stale v1
+    loaded = ckpt.load(d2)
+    assert loaded.step == 16
+    np.testing.assert_array_equal(loaded.f, f16)
+
+
+def test_committed_save_prunes_orphaned_tmp_files(tmp_path):
+    """A crash mid-save leaves ``*.tmp`` staging files (step-stamped,
+    multi-hundred-MB at giant grids); the next COMMITTED save of either
+    layout must collect them, or crash/resume cycles accumulate
+    unbounded dead bytes."""
+    import jax.numpy as jnp
+
+    obs = channel_box(64, 32)
+    f = np.zeros((9, 32, 64), np.float32)
+    av = np.zeros(8, np.float32)
+    orphans = [
+        tmp_path / "lbm_checkpoint.step4.shard0000.npz.tmp",
+        tmp_path / (ckpt.AV_FILENAME + ".tmp"),
+        tmp_path / (ckpt.META_FILENAME + ".tmp"),
+    ]
+    tmp_path.mkdir(exist_ok=True)
+    for p in orphans:
+        p.write_bytes(b"crashed mid-write")
+    ckpt.save_sharded(tmp_path, PARAMS, obs, 8, jnp.asarray(f), av)
+    for p in orphans:
+        assert not p.exists(), f"orphan survived the v2 commit: {p.name}"
+    assert ckpt.load(tmp_path).step == 8
+
+    for p in orphans:
+        p.write_bytes(b"crashed mid-write")
+    ckpt.save(tmp_path, PARAMS, obs, 8, f, av)
+    for p in orphans:
+        assert not p.exists(), f"orphan survived the v1 commit: {p.name}"
+    assert ckpt.load(tmp_path).step == 8

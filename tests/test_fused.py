@@ -91,16 +91,17 @@ def test_multi_step_kernel():
     assert program.chunk == 4
     step = jax.jit(program.step)
 
-    f_ref = g = init_cells(params)
+    f_ref = init_cells(params)
     avs_ref = []
     for _ in range(8):
         f_ref, av = ref(f_ref)
         avs_ref.append(float(av))
-    g, avs1 = step(g)
-    g, avs2 = step(g)
+    carry = program.init(init_cells(params))
+    carry, avs1 = step(carry)
+    carry, avs2 = step(carry)
     avs = np.concatenate([np.asarray(avs1), np.asarray(avs2)])
     np.testing.assert_allclose(
-        np.asarray(f_ref), np.asarray(g), rtol=1e-6, atol=1e-9
+        np.asarray(f_ref), np.asarray(program.final(carry)), rtol=1e-6, atol=1e-9
     )
     np.testing.assert_allclose(avs, np.asarray(avs_ref), rtol=1e-5)
 
@@ -586,6 +587,39 @@ def test_single_chip_run_program_routes_masks_as_operands():
                 f"{readback}/level{level} leaked a dense mask literal: "
                 f"{big[0][:120]}"
             )
+
+
+def test_multi_step_program_routes_mask_as_const():
+    """The multi-step program routes its fluid mask through
+    StepProgram.consts (runtime operand) like every sibling schedule —
+    no dense mask literal in the lowered HLO — and the const-fed carry
+    agrees with the embed-default path."""
+    from lbm_tpu.ops.fused import build_multi_step_program
+
+    params = LBMParams(128, 32, 8, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(128, 32, interior_row=13)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    prog = build_multi_step_program(params, obstacles, fcinv, 4, interpret=True)
+    assert prog.consts, "multi-step program must expose its mask as a const"
+    mask = prog.consts[0]
+    f0 = init_cells(params)
+
+    def run1(f, m):
+        carry, av = prog.step(prog.init(f, m))
+        return prog.final(carry), av
+
+    m_spec = jax.ShapeDtypeStruct(mask.shape, mask.dtype)
+    f_spec = jax.ShapeDtypeStruct(f0.shape, f0.dtype)
+    text = jax.jit(run1).lower(f_spec, m_spec).as_text()
+    big = _big_dense_lines(text)
+    assert not big, f"multi-step leaked a dense mask literal: {big[0][:120]}"
+
+    f_const, av_const = jax.jit(run1)(f0, jnp.asarray(mask))
+    carry, av_embed = prog.step(prog.init(init_cells(params)))
+    np.testing.assert_array_equal(
+        np.asarray(f_const), np.asarray(prog.final(carry))
+    )
+    np.testing.assert_array_equal(np.asarray(av_const), np.asarray(av_embed))
 
 
 def test_mega_program_routes_mask_as_const():

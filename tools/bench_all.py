@@ -32,23 +32,30 @@ REFERENCE_SECONDS = {
     "1024x1024": 11.69,
 }
 GOLDEN_DIR = pathlib.Path("/root/reference/check")
-# Self-contained fallback: the vendored fp64-engine goldens are
-# full-length for every case (tools/gen_goldens.py), so the drift gate
-# works with the reference mount absent.
+# Self-contained fallback: vendored fp64-engine goldens
+# (tools/gen_goldens.py) keep the drift gate working with the reference
+# mount absent.  128x128 and 128x256 are full-length; 256x256 (4000 of
+# 80000 steps) and 1024x1024 (600 of 20000) are PREFIXES — those cases
+# get a prefix gate, loudly labeled (no-silent-caps rule): a >1% physics
+# regression shows in the first few hundred steps, but genuine
+# long-horizon fp32 drift is only gated when the full series is present.
 VENDORED_DIR = pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
 
 
 def golden_series(case: str, max_iters: int) -> np.ndarray | None:
-    """Full-length golden av_vels for ``case``: the reference's when
-    mounted, else the vendored fp64-engine series — but only when it
-    covers the whole run (a prefix cannot gate full-length drift)."""
+    """Golden av_vels for ``case``: the reference's full-length series
+    when mounted, else the vendored fp64-engine series (which may be a
+    prefix — the caller compares the overlapping steps and labels a
+    prefix-only gate)."""
     golden_path = GOLDEN_DIR / f"{case}.av_vels.dat"
     if not golden_path.exists():
         golden_path = VENDORED_DIR / f"{case}.fp64gen_av_vels.dat"
     if not golden_path.exists():
         return None
     golden = np.loadtxt(golden_path, usecols=[1])
-    return golden if golden.size == max_iters else None
+    if golden.size > max_iters:
+        return None  # longer than the run: wrong case/params — don't gate
+    return golden
 
 
 def bench_case(case: str, repeats: int) -> dict:
@@ -69,11 +76,13 @@ def bench_case(case: str, repeats: int) -> dict:
         "reynolds": best.reynolds,
         "av_finite": bool(np.isfinite(best.av_vels).all()),
         "max_diff_pct": float("nan"),
+        "golden_steps": 0,
     }
     golden = golden_series(case, params.max_iters)
     if golden is not None:
+        row["golden_steps"] = int(golden.size)
         row["max_diff_pct"] = float(
-            (np.abs((golden - best.av_vels) / golden) * 100).max()
+            (np.abs((golden - best.av_vels[: golden.size]) / golden) * 100).max()
         )
     return row
 
@@ -108,6 +117,16 @@ def main(argv: list[str] | None = None) -> int:
                 f"{r['speedup']:5.1f}x vs ref; diff {r['max_diff_pct']:.4f}%; "
                 f"Re {r['reynolds']:.4f}"
             )
+    # No-silent-caps: say when a case's drift gate is weaker than a
+    # full-length comparison (vendored prefix golden / no golden at all).
+    for r in rows:
+        if r["golden_steps"] == 0:
+            print(f"NOTE {r['case']}: no golden found — drift NOT gated "
+                  "(finiteness only)")
+        elif r["golden_steps"] < r["iters"]:
+            print(f"NOTE {r['case']}: golden covers only the first "
+                  f"{r['golden_steps']} of {r['iters']} steps — "
+                  "prefix gate (mount /root/reference for full-length)")
 
     # Correctness gate: a golden-checked case that drifted out of tolerance
     # (or produced non-finite values) makes this a FAILED run, not a perf
