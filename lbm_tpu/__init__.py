@@ -33,6 +33,7 @@ from lbm_tpu.parallel.sharded import (
 from lbm_tpu.runtime import (
     RunResult,
     Simulator,
+    enable_compile_cache,
     hbm_budget_gib,
     select_device,
     state_readback_fits,
@@ -53,6 +54,7 @@ __all__ = [
     "default_mesh",
     "default_mesh_2d",
     "free_cells_of",
+    "enable_compile_cache",
     "hbm_budget_gib",
     "load_obstacle_file",
     "read_av_vels",

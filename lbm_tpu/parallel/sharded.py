@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lbm_tpu.config import LBMParams
 from lbm_tpu.diagnostics import ResultMetrics
-from lbm_tpu.runtime import COMPILE_FALLBACK_ERRORS
+from lbm_tpu.runtime import COMPILE_FALLBACK_ERRORS, enable_compile_cache
 from lbm_tpu.geometry import free_cells_of
 from lbm_tpu.ops.lattice import CX, CY, NSPEEDS, kick_scale
 from lbm_tpu.ops.reference import accel_weights, collide, init_cells
@@ -1120,6 +1120,7 @@ class ShardedSimulator:
                 f"{(params.ny, params.nx)}"
             )
         self.mesh = mesh if mesh is not None else default_mesh()
+        enable_compile_cache()
         if kernel == "auto":
             kernel = "fused" if jax.default_backend() == "tpu" else "reference"
         if kernel not in ("fused", "temporal", "reference"):

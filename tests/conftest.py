@@ -24,6 +24,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Keep the suite's XLA compile-cache entries out of the user's real
+# ~/.cache (the simulators enable the persistent cache by default).
+os.environ.setdefault("LBM_COMPILE_CACHE", "off")
+
 import pathlib
 
 import pytest

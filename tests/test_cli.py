@@ -2,6 +2,7 @@
 
 import dataclasses
 import json
+import os
 import subprocess
 import sys
 
@@ -679,3 +680,52 @@ def test_checker_detects_out_of_tolerance(tmp_path):
         final_state=str(fs),
         tolerance=10.0,
     )
+
+
+def test_enable_compile_cache_env_contract(monkeypatch, tmp_path):
+    """LBM_COMPILE_CACHE: off-values disable, a path redirects, and the
+    first resolution wins for the process (idempotent once-guard) —
+    flipping the global XLA cache config mid-process would split one
+    run's entries across directories."""
+    import jax
+
+    from lbm_tpu import runtime
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_tb = jax.config.jax_include_full_tracebacks_in_locations
+    try:
+        # A cache dir the embedding application already configured is
+        # respected verbatim (no env, no re-point).
+        monkeypatch.setattr(runtime, "_COMPILE_CACHE_STATE", [])
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "app"))
+        monkeypatch.setenv("LBM_COMPILE_CACHE", str(tmp_path / "ignored"))
+        assert runtime.enable_compile_cache() == str(tmp_path / "app")
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "app")
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+
+        monkeypatch.setattr(runtime, "_COMPILE_CACHE_STATE", [])
+        monkeypatch.setenv("LBM_COMPILE_CACHE", "off")
+        assert runtime.enable_compile_cache() is None
+        assert runtime.enable_compile_cache() is None  # memoized
+
+        monkeypatch.setattr(runtime, "_COMPILE_CACHE_STATE", [])
+        target = str(tmp_path / "xla")
+        monkeypatch.setenv("LBM_COMPILE_CACHE", target)
+        assert runtime.enable_compile_cache() == target
+        assert jax.config.jax_compilation_cache_dir == target
+        # Once resolved, a different env value must NOT re-point it.
+        monkeypatch.setenv("LBM_COMPILE_CACHE", str(tmp_path / "elsewhere"))
+        assert runtime.enable_compile_cache() == target
+        assert jax.config.jax_compilation_cache_dir == target
+
+        # Default (no env, nothing pre-set): a per-user directory.
+        monkeypatch.setattr(runtime, "_COMPILE_CACHE_STATE", [])
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.delenv("LBM_COMPILE_CACHE")
+        resolved = runtime.enable_compile_cache()
+        assert resolved and resolved.endswith("lbm_tpu/xla".replace("/", os.sep))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+        jax.config.update("jax_include_full_tracebacks_in_locations", prev_tb)
