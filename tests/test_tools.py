@@ -89,3 +89,29 @@ def test_bench_all_golden_series_prefers_reference(reference_dir):
         reference_dir / "check" / "128x128.av_vels.dat", usecols=[1]
     )
     np.testing.assert_array_equal(golden, ref)
+
+
+def test_gen_inputs_canonical_max_iters_override(tmp_path):
+    """`gen_inputs 1024x1024 --max-iters 600` writes the canonical
+    geometry with only max_iters replaced — the `make check-self` prefix
+    gate relies on this (a 600-step run's av_vels IS the first 600
+    entries of the 20000-step run)."""
+    from lbm_tpu.config import CANONICAL_PARAMS, LBMParams
+    from lbm_tpu.geometry import canonical_obstacles, load_obstacle_file
+
+    gi = _load("gen_inputs")
+    gi.main(["1024x1024", str(tmp_path), "--max-iters", "600"])
+    got = LBMParams.from_file(tmp_path / "input_1024x1024.params")
+    want = CANONICAL_PARAMS["1024x1024"]
+    assert got.max_iters == 600
+    assert (got.nx, got.ny, got.density, got.accel, got.omega) == (
+        want.nx, want.ny, want.density, want.accel, want.omega
+    )
+    mask, _ = load_obstacle_file(
+        tmp_path / "obstacles_1024x1024.dat", got.nx, got.ny
+    )
+    np.testing.assert_array_equal(mask, canonical_obstacles("1024x1024"))
+
+    # Without the flag the shipped value is kept.
+    gi.main(["128x128", str(tmp_path)])
+    assert LBMParams.from_file(tmp_path / "input_128x128.params").max_iters == 40000

@@ -28,18 +28,24 @@ from lbm_tpu.config import CANONICAL_PARAMS
 from lbm_tpu.geometry import canonical_obstacles
 from lbm_tpu.validation import run64
 
-# Series lengths: the two small cases vendor their FULL reference length
-# (40000 steps — a suite without the reference mount then still exercises
-# long-horizon fp32 drift, the exact risk SURVEY §7 flags); the two big
-# cases vendor prefixes long enough to exercise drift while keeping the
-# fp64 engine's regeneration time in minutes (1024² runs at ~0.25 s/step
-# in float64 NumPy).
+# Series lengths: three cases vendor their FULL reference length (40000 /
+# 80000 steps — a suite without the reference mount then still exercises
+# long-horizon fp32 drift, the exact risk SURVEY §7 flags; 256x256's 80k
+# steps are the hardest drift case of all four).  1024² vendors a prefix
+# long enough to exercise drift while keeping the fp64 engine's
+# regeneration time in minutes (1024² runs at ~0.25 s/step in float64
+# NumPy — its full 20000 steps would be ~80 min).
 PREFIX_STEPS = {
     "128x128": 40000,  # full length (matches check/128x128.av_vels.dat)
     "128x256": 40000,  # full length
-    "256x256": 4000,
+    "256x256": 80000,  # full length (matches check/256x256.av_vels.dat)
     "1024x1024": 600,
 }
+# Cases that also vendor a final_state golden.  Only meaningful at full
+# length (final_state is the END state), and — mirroring the upstream
+# repo's own choice (check/.MISSING_LARGE_BLOBS strips the 256²/1024²
+# final_state blobs) — only the two small grids, whose files are ~1-2 MB.
+FINAL_STATE_CASES = ("128x128", "128x256")
 REFERENCE_CHECK = pathlib.Path("/root/reference/check")
 # fp64 engine vs the reference's fp32-GPU-produced goldens: the reference
 # itself reports ~1e-7% fp32-vs-fp64 deviation at step 40000
@@ -51,8 +57,9 @@ CROSSCHECK_TOL_PCT = 0.1
 def generate(case: str, outdir: pathlib.Path) -> None:
     steps = PREFIX_STEPS[case]
     params = CANONICAL_PARAMS[case]
+    obstacles = canonical_obstacles(case)
     tic = time.perf_counter()
-    _, av = run64(params, canonical_obstacles(case), max_iters=steps)
+    f, av = run64(params, obstacles, max_iters=steps)
     print(f"{case}: {steps} fp64 steps in {time.perf_counter() - tic:.1f}s")
 
     ref_path = REFERENCE_CHECK / f"{case}.av_vels.dat"
@@ -74,6 +81,35 @@ def generate(case: str, outdir: pathlib.Path) -> None:
     with open(out, "w") as fp:
         fp.writelines(f"{i}:\t{v:.12E}\n" for i, v in enumerate(av))
     print(f"  wrote {out}")
+
+    if case in FINAL_STATE_CASES and steps == params.max_iters:
+        from lbm_tpu.io import write_final_state
+
+        out_fs = outdir / f"{case}.fp64gen_final_state.dat"
+        write_final_state(out_fs, params, f, obstacles)
+        ref_fs = REFERENCE_CHECK / f"{case}.final_state.dat"
+        if ref_fs.exists():
+            # The checker protocol reads columns [0, 1, 5] = x, y,
+            # pressure (check/check.py:66); u_x/u_y are unchecked (and the
+            # reference's own columns 2-3 carry its stale-shadowing bug,
+            # d2q9-bgk.c:811,819 — deliberately not reproduced here).
+            golden_fs = np.loadtxt(ref_fs, usecols=[0, 1, 5])
+            ours = np.loadtxt(out_fs, usecols=[0, 1, 5])
+            if (golden_fs[:, :2] != ours[:, :2]).any():
+                raise SystemExit(f"{case}: final_state coordinate order "
+                                 "differs from the reference golden")
+            fs_pct = (
+                np.abs((golden_fs[:, 2] - ours[:, 2]) / golden_fs[:, 2]) * 100
+            )
+            print(f"  final_state cross-check: max {fs_pct.max():.2e}%")
+            if not fs_pct.max() < CROSSCHECK_TOL_PCT:
+                raise SystemExit(
+                    f"{case}: fp64 final_state deviates {fs_pct.max():.4f}% "
+                    "from the reference golden — refusing to vendor"
+                )
+        else:
+            print("  (reference final_state not mounted; no cross-check)")
+        print(f"  wrote {out_fs}")
 
 
 def main(argv: list[str] | None = None) -> int:

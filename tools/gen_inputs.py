@@ -28,7 +28,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("outdir", type=pathlib.Path)
     parser.add_argument("--nx", type=int)
     parser.add_argument("--ny", type=int)
-    parser.add_argument("--max-iters", type=int, default=1000)
+    parser.add_argument(
+        "--max-iters",
+        type=int,
+        default=None,
+        help="override max_iters (canonical cases keep their shipped "
+        "value; custom grids default to 1000) — used e.g. to drive a "
+        "prefix-length run against a vendored prefix golden",
+    )
     parser.add_argument("--density", type=float, default=0.1)
     parser.add_argument("--accel", type=float, default=0.005)
     parser.add_argument("--omega", type=float, default=1.85)
@@ -38,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     args.outdir.mkdir(parents=True, exist_ok=True)
     if args.case:
         params = CANONICAL_PARAMS[args.case]
+        if args.max_iters is not None:
+            import dataclasses
+
+            params = dataclasses.replace(params, max_iters=args.max_iters)
         mask = canonical_obstacles(args.case)
         name = args.case
     else:
@@ -46,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
         params = LBMParams(
             args.nx,
             args.ny,
-            args.max_iters,
+            args.max_iters if args.max_iters is not None else 1000,
             args.reynolds_dim,
             args.density,
             args.accel,
