@@ -166,7 +166,8 @@ def cmd_run(args: argparse.Namespace) -> int:
 def _run_sharded(args, params, obstacles) -> int:
     """Multi-device run over a 1-D (``--shards N``) or 2-D
     (``--mesh PYxPX``) device mesh, with optional explicit temporal
-    ``--temporal-split BYxK`` — the production surface for every
+    ``--temporal-split BYxK`` (or ``BYxKxPX`` for the x-tiled local
+    schedule) — the production surface for every
     decomposition ``ShardedSimulator`` supports (the BASELINE.json
     weak-scaling configuration is drivable from this one command, like
     the reference's one-binary contract, ``d2q9-bgk.c:876-880`` +
@@ -186,7 +187,21 @@ def _run_sharded(args, params, obstacles) -> int:
         print(f"Mesh: {args.shards} device(s), row-sharded")
     split = None
     if args.temporal_split is not None:
-        split = _parse_pair(args.temporal_split, "--temporal-split")
+        parts = args.temporal_split.lower().split("x")
+        if len(parts) == 3:
+            # BYxKxPX: the x-tiled local schedule (PX column strips per
+            # shard) — giant-width slabs (docs/PERF.md round-3/4).
+            try:
+                split = tuple(int(v) for v in parts)
+            except ValueError:
+                split = (0,)
+            if len(split) != 3 or any(v < 1 for v in split):
+                raise SystemExit(
+                    "--temporal-split must be BYxK or BYxKxPX (e.g. "
+                    f"128x4x4), got {args.temporal_split!r}"
+                )
+        else:
+            split = _parse_pair(args.temporal_split, "--temporal-split")
         kernel = args.kernel
         if kernel in ("auto", "reference"):
             # An explicit split names the temporal kernel; 'auto' on CPU
@@ -374,9 +389,11 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--mesh", default=None, metavar="PYxPX",
                      help="2-D spatial decomposition over a PYxPX device "
                      "mesh (rows x cols); exclusive with --shards")
-    run.add_argument("--temporal-split", default=None, metavar="BYxK",
+    run.add_argument("--temporal-split", default=None, metavar="BYxK[xPX]",
                      help="explicit temporal kernel split for the sharded "
-                     "paths: BY-row blocks advancing K steps per pass "
+                     "paths: BY-row blocks advancing K steps per pass; "
+                     "a third component PX selects the x-tiled local "
+                     "schedule with PX column strips per shard "
                      "(default: measured tuning cache / heuristic)")
     run.set_defaults(func=cmd_run)
 

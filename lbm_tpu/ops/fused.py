@@ -783,6 +783,7 @@ def _step_kernel_temporal(
     aw1: float,
     aw2: float,
     av_lanes: int | None = None,
+    storage=jnp.float32,
 ):
     """Trapezoidal temporal blocking: advance the window ``ksteps`` times.
 
@@ -798,6 +799,12 @@ def _step_kernel_temporal(
     row that has already left the valid region is a no-op (never read).
     Each program accumulates the av contribution of its own center rows at
     every internal step, summed across programs in SMEM.
+
+    ``storage``: HBM dtype of the carried f/ghost state (fp32 production
+    default).  16-bit storage halves a pass's dominant HBM traffic and
+    the state footprint; all in-kernel arithmetic stays fp32 (widen on
+    load, round once per K-step pass on store) — the fp16-residency
+    experiment, docs/PERF.md round 4.
     """
     f32 = jnp.float32
     i = pl.program_id(0)
@@ -811,7 +818,7 @@ def _step_kernel_temporal(
     planes = [
         jnp.concatenate(
             [gs_ref[0, :, k, :], c_ref[k, :, :], gn_ref[0, :, k, :]], axis=0
-        )
+        ).astype(f32)
         for k in range(NSPEEDS)
     ]
     final, parts = _window_advance(
@@ -838,9 +845,10 @@ def _step_kernel_temporal(
             avs_ref[s, 0] += part
 
     for k in range(NSPEEDS):
-        out_ref[k, :, :] = final[k][ksteps : ksteps + by, :]
-        gn_out[0, :, k, :] = final[k][ksteps : 2 * ksteps, :]
-        gs_out[0, :, k, :] = final[k][by : by + ksteps, :]
+        fin = final[k].astype(storage)
+        out_ref[k, :, :] = fin[ksteps : ksteps + by, :]
+        gn_out[0, :, k, :] = fin[ksteps : 2 * ksteps, :]
+        gs_out[0, :, k, :] = fin[by : by + ksteps, :]
 
 
 def build_temporal_program(
@@ -851,9 +859,15 @@ def build_temporal_program(
     ksteps: int,
     *,
     interpret: bool = False,
+    storage=jnp.float32,
 ) -> StepProgram:
-    """Temporal-blocked program (``chunk == ksteps``) for row-blocked grids."""
+    """Temporal-blocked program (``chunk == ksteps``) for row-blocked
+    grids.  ``storage``: HBM dtype of the carried f/ghost state (16-bit
+    halves state bytes and pass traffic; fp32 in-kernel compute either
+    way — the fp16-residency experiment, docs/PERF.md round 4; fp32 is
+    the production default)."""
     ny, nx = params.ny, params.nx
+    storage = jnp.dtype(storage)
     if ny % by != 0:
         raise ValueError(f"BY={by} does not divide ny={ny}")
     grid = ny // by
@@ -900,6 +914,7 @@ def build_temporal_program(
         float(aw1),
         float(aw2),
         interpret=interpret,
+        storage=storage,
     )
     gates = np.ones((1, 2), dtype=np.int32)  # single chip: both kick sites
 
@@ -908,6 +923,7 @@ def build_temporal_program(
         # supplies it (see StepProgram.consts); embedded otherwise.
         if maskext is None:
             maskext = jnp.asarray(maskext_host)
+        f = f.astype(storage)  # no-op for the fp32 production default
         gs = jnp.stack(
             [jnp.transpose(f[:, rows, :], (1, 0, 2)) for rows in south_rows]
         )
@@ -926,7 +942,7 @@ def build_temporal_program(
     return StepProgram(
         init=init,
         step=step,
-        final=lambda c: c[0],
+        final=lambda c: c[0].astype(jnp.float32),
         chunk=ksteps,
         consts=(maskext_host,),
     )
@@ -943,6 +959,7 @@ def build_temporal_kernel(
     *,
     interpret: bool = False,
     av_lanes: int | None = None,
+    storage=jnp.float32,
 ):
     """Raw temporal pallas_call:
     ``call(f, gs, gn, maskext, gates) -> (f', gs', gn', avs)`` with ghost
@@ -950,8 +967,10 @@ def build_temporal_kernel(
     int32 gates [1, 2] = (interior kick site on, south-wrap kick site on).
     ``ny``/``nx`` are the *local* slab dims when used per-shard;
     ``av_lanes`` bounds the reduction to the owned lanes of an x-padded
-    tile (2-D sharding — see ``_window_advance``)."""
+    tile (2-D sharding — see ``_window_advance``); ``storage`` is the HBM
+    dtype of f and the ghost slabs (see ``_step_kernel_temporal``)."""
     grid = ny // by
+    storage = jnp.dtype(storage)
     center_spec = pl.BlockSpec(
         (NSPEEDS, by, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
@@ -972,7 +991,7 @@ def build_temporal_kernel(
         (1, by + 2 * ksteps, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     gate_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    ghost_shape = jax.ShapeDtypeStruct((grid, ksteps, NSPEEDS, nx), jnp.float32)
+    ghost_shape = jax.ShapeDtypeStruct((grid, ksteps, NSPEEDS, nx), storage)
 
     return pl.pallas_call(
         functools.partial(
@@ -985,6 +1004,7 @@ def build_temporal_kernel(
             aw1=aw1,
             aw2=aw2,
             av_lanes=av_lanes,
+            storage=storage,
         ),
         grid=(grid,),
         in_specs=[
@@ -998,14 +1018,16 @@ def build_temporal_kernel(
                    pl.BlockSpec((ksteps, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)],
         out_shape=[
-            jax.ShapeDtypeStruct((NSPEEDS, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((NSPEEDS, ny, nx), storage),
             ghost_shape,
             ghost_shape,
             jax.ShapeDtypeStruct((ksteps, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(ny * nx * 110 * ksteps),
-            bytes_accessed=int((2 * NSPEEDS + 1) * ny * nx * 4),
+            bytes_accessed=int(
+                (2 * NSPEEDS * storage.itemsize + 1) * ny * nx
+            ),
             transcendentals=int(ny * nx * ksteps),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -1028,6 +1050,10 @@ def _step_kernel_temporal_xt(
     gnw_ref,  # [1, 1, K, 9, 128]  west neighbor's gn slab, last owned block
     maskext_ref,  # [1, BY+2K, W]  window fluid mask (halo lanes carry the
     #                               x-neighbor's mask, dead pad is 0)
+    gate_ref,  # [1, 2] SMEM int32: body-force gates, as in the 1-D
+    #            temporal kernel (single chip passes ones; the y-sharded
+    #            factory gates on the shard owning global row ny-2 /
+    #            shard 0's wrapped south halo)
     out_ref,  # [1, 9, BY, W]
     gs_out,  # [1, 1, K, 9, W]     ghosts for block (i+1) % P of this strip
     gn_out,  # [1, 1, K, 9, W]     ghosts for block (i-1) % P
@@ -1052,9 +1078,13 @@ def _step_kernel_temporal_xt(
     Identical algebra to :func:`_step_kernel_temporal` — the second grid
     dimension only changes which ids gate the body-force sites (row-block
     id) and which program owns the first av write (strip 0, block 0).
-    Both kick sites are active in every strip: each strip owns its lanes
-    of global row ny-2, and the halo lanes kick under the NEIGHBOR's mask,
-    tracking the owner's evolution exactly (as in the sharded 2-D path).
+    Both kick sites fire in every strip when gated on: each strip owns its
+    lanes of global row ny-2, and the halo lanes kick under the NEIGHBOR's
+    mask, tracking the owner's evolution exactly (as in the sharded 2-D
+    path).  ``gate_ref`` additionally gates the two sites per DEVICE when
+    the kernel runs per-shard (``make_sharded_temporal_xt_run``): only the
+    shard owning global row ny-2 kicks the interior site, only shard 0 the
+    wrapped south-halo site; the single-chip program passes ones.
 
     x halos are KERNEL-ROUNDTRIP state, exactly like the y ghosts: the
     halo lane bands of the assembled window are overwritten from the
@@ -1119,8 +1149,8 @@ def _step_kernel_temporal_xt(
     final, parts = _window_advance(
         planes,
         fluid,
-        i == last,
-        i == 0,
+        (i == last) & (gate_ref[0, 0] > 0),
+        (i == 0) & (gate_ref[0, 1] > 0),
         by=by,
         ksteps=ksteps,
         nx=w,
@@ -1150,6 +1180,203 @@ def _step_kernel_temporal_xt(
 # Lane padding of each x strip; keeps W lane-aligned while hosting the two
 # K-wide halo bands (same scheme as the sharded 2-D tiles).
 _XT_PAD = 128
+
+
+def build_temporal_xtiled_kernel(
+    ny: int,
+    nx: int,
+    by: int,
+    ksteps: int,
+    px: int,
+    omega: float,
+    aw1: float,
+    aw2: float,
+    *,
+    interpret: bool = False,
+):
+    """Raw x-tiled temporal pallas_call:
+    ``call(fs, gs, gn, xe, xw, gse, gsw, gne, gnw, maskext, gates) ->
+    (fs', gs', gn', xe', xw', avs)`` on strip-major state
+    ``fs [Px, 9, ny, W]`` (W = nx/Px + 128), ghost slabs
+    ``[Px, P, K, 9, W]``, edge columns ``[Px, 9, ny, edge]``, per-window
+    masks ``[Px*P, BY+2K, W]`` and int32 gates ``[1, 2]`` — the x-tiled
+    analog of :func:`build_temporal_kernel`, factored out so the sharded
+    factory (``parallel/sharded.py::make_sharded_temporal_xt_run``) can
+    run it per-shard with device-gated body-force sites.  ``ny``/``nx``
+    are the LOCAL slab dims in that use; the x wrap is the local strip
+    ring either way (x is never device-sharded on this path).  The
+    gse/gsw/gne/gnw operands alias the gs/gn arrays (callers pass gs/gn
+    twice) — the BlockSpecs select the neighbor strips' edge lane-blocks.
+
+    Validates every kernel-level constraint with a clear ValueError (the
+    TPU-lowering forms; ``interpret=True`` relaxes the hardware tiling
+    minima for test miniatures).
+    """
+    if nx % px != 0:
+        raise ValueError(f"px={px} does not divide nx={nx}")
+    bx = nx // px
+    if px < 2:
+        raise ValueError("x-tiling needs px >= 2 (use the 1-D temporal "
+                         "program for a single strip)")
+    w = bx + _XT_PAD
+    if not interpret and (bx % 128 != 0):
+        raise ValueError(
+            f"BX={bx}: x strips must be lane-aligned (multiple of 128) "
+            "to lower on TPU"
+        )
+    if ny % by != 0:
+        raise ValueError(f"BY={by} does not divide ny={ny}")
+    p_loc = ny // by
+    if p_loc < 2:
+        raise ValueError("temporal blocking needs >= 2 row blocks")
+    if not interpret and by % 8 != 0:
+        raise ValueError(
+            f"BY={by}: Pallas row blocks must be divisible by 8 to lower "
+            "on TPU (use interpret=True for sub-8 test blocks)"
+        )
+    if not 2 <= ksteps <= by - 2:
+        raise ValueError(f"need 2 <= K <= BY-2, got K={ksteps}, BY={by}")
+    if 2 * ksteps > _XT_PAD or ksteps > bx:
+        raise ValueError(
+            f"K={ksteps} x halos don't fit (need 2K <= {_XT_PAD} and "
+            f"K <= BX={bx})"
+        )
+    byext = by + 2 * ksteps
+    # Edge-column block width: 128 lanes on hardware (the Mosaic lane-dim
+    # tiling minimum — K alone would be below it); interpret-mode test
+    # miniatures with BX < 128 use the whole strip.
+    edge = _XT_PAD if bx >= _XT_PAD else bx
+    if bx % edge != 0:
+        raise ValueError(
+            f"BX={bx} must be a multiple of the edge block width {edge}"
+        )
+
+    center_spec = pl.BlockSpec(
+        (1, NSPEEDS, by, w), lambda s, i: (s, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ghost_in_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, w), lambda s, i: (s, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gn_out_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, w),
+        lambda s, i: (s, (i - 1) % p_loc, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gs_out_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, w),
+        lambda s, i: (s, (i + 1) % p_loc, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    maskext_spec = pl.BlockSpec(
+        (1, byext, w), lambda s, i: (s * p_loc + i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gate_spec = pl.BlockSpec(
+        (1, 2), lambda s, i: (0, 0), memory_space=pltpu.SMEM
+    )
+    # Carried x-edge arrays: XE[s] = WEST neighbor's last `edge` owned
+    # lanes, XW[s] = EAST neighbor's first `edge` lanes (all ny rows).
+    xedge_in_spec = pl.BlockSpec(
+        (1, NSPEEDS, by, edge), lambda s, i: (s, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    xe_out_spec = pl.BlockSpec(
+        (1, NSPEEDS, by, edge),
+        lambda s, i: ((s + 1) % px, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    xw_out_spec = pl.BlockSpec(
+        (1, NSPEEDS, by, edge),
+        lambda s, i: ((s - 1) % px, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # Neighbor ghost-slab edge lane-blocks for the ±K corner rows of the
+    # halo bands (gs/gn are non-aliased carries, so cross-strip reads are
+    # race-free under the in-place f update).
+    last_lane_block = bx // edge - 1
+    gse_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, edge),
+        lambda s, i: ((s + 1) % px, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gsw_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, edge),
+        lambda s, i: ((s - 1) % px, i, 0, 0, last_lane_block),
+        memory_space=pltpu.VMEM,
+    )
+    gne_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, edge),
+        lambda s, i: ((s + 1) % px, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gnw_spec = pl.BlockSpec(
+        (1, 1, ksteps, NSPEEDS, edge),
+        lambda s, i: ((s - 1) % px, i, 0, 0, last_lane_block),
+        memory_space=pltpu.VMEM,
+    )
+    fs_shape = jax.ShapeDtypeStruct((px, NSPEEDS, ny, w), jnp.float32)
+    ghost_shape = jax.ShapeDtypeStruct(
+        (px, p_loc, ksteps, NSPEEDS, w), jnp.float32
+    )
+    xedge_shape = jax.ShapeDtypeStruct((px, NSPEEDS, ny, edge), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(
+            _step_kernel_temporal_xt,
+            by=by,
+            ksteps=ksteps,
+            bx=bx,
+            w=w,
+            edge=edge,
+            omega=omega,
+            aw1=aw1,
+            aw2=aw2,
+            av_lanes=bx,
+        ),
+        grid=(px, p_loc),
+        in_specs=[
+            center_spec,
+            ghost_in_spec,
+            ghost_in_spec,
+            xedge_in_spec,
+            xedge_in_spec,
+            gse_spec,
+            gsw_spec,
+            gne_spec,
+            gnw_spec,
+            maskext_spec,
+            gate_spec,
+        ],
+        out_specs=[
+            center_spec,
+            gs_out_spec,
+            gn_out_spec,
+            xe_out_spec,
+            xw_out_spec,
+            pl.BlockSpec(
+                (ksteps, 1), lambda s, i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_shape=[
+            fs_shape,
+            ghost_shape,
+            ghost_shape,
+            xedge_shape,
+            xedge_shape,
+            jax.ShapeDtypeStruct((ksteps, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(px * ny * w * 110 * ksteps),
+            bytes_accessed=int((2 * NSPEEDS + 1) * px * ny * w * 4),
+            transcendentals=int(px * ny * w * ksteps),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )
 
 
 def fill_xt_mask_window(
@@ -1225,37 +1452,25 @@ def build_temporal_xtiled_program(
       but are never counted.
     """
     ny, nx = params.ny, params.nx
-    if nx % px != 0:
-        raise ValueError(f"px={px} does not divide nx={nx}")
-    bx = nx // px
-    if px < 2:
-        raise ValueError("x-tiling needs px >= 2 (use the 1-D temporal "
-                         "program for a single strip)")
-    w = bx + _XT_PAD
-    if not interpret and (bx % 128 != 0):
-        raise ValueError(
-            f"BX={bx}: x strips must be lane-aligned (multiple of 128) "
-            "to lower on TPU"
-        )
-    if ny % by != 0:
-        raise ValueError(f"BY={by} does not divide ny={ny}")
-    p_loc = ny // by
-    if p_loc < 2:
-        raise ValueError("temporal blocking needs >= 2 row blocks")
-    if not interpret and by % 8 != 0:
-        raise ValueError(
-            f"BY={by}: Pallas row blocks must be divisible by 8 to lower "
-            "on TPU (use interpret=True for sub-8 test blocks)"
-        )
-    if not 2 <= ksteps <= by - 2:
-        raise ValueError(f"need 2 <= K <= BY-2, got K={ksteps}, BY={by}")
-    if 2 * ksteps > _XT_PAD or ksteps > bx:
-        raise ValueError(
-            f"K={ksteps} x halos don't fit (need 2K <= {_XT_PAD} and "
-            f"K <= BX={bx})"
-        )
-    byext = by + 2 * ksteps
     aw1, aw2 = accel_weights(params)
+    # Validates every structural constraint (clear ValueErrors) and builds
+    # the pallas_call; shared with the per-shard sharded factory.
+    call = build_temporal_xtiled_kernel(
+        ny,
+        nx,
+        by,
+        ksteps,
+        px,
+        float(np.float32(params.omega)),
+        float(aw1),
+        float(aw2),
+        interpret=interpret,
+    )
+    bx = nx // px
+    w = bx + _XT_PAD
+    p_loc = ny // by
+    byext = by + 2 * ksteps
+    edge = _XT_PAD if bx >= _XT_PAD else bx
     fcinv = np.float32(free_cells_inv)
     # int8 mask, widened in-kernel before comparing (4x less HBM traffic).
     fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.int8)
@@ -1279,137 +1494,6 @@ def build_temporal_xtiled_program(
         np.arange(i * by + by, i * by + by + ksteps) % ny
         for i in range(p_loc)
     ]
-    # Edge-column block width: 128 lanes on hardware (the Mosaic lane-dim
-    # tiling minimum — K alone would be below it); interpret-mode test
-    # miniatures with BX < 128 use the whole strip.
-    edge = _XT_PAD if bx >= _XT_PAD else bx
-    if bx % edge != 0:
-        raise ValueError(
-            f"BX={bx} must be a multiple of the edge block width {edge}"
-        )
-
-    center_spec = pl.BlockSpec(
-        (1, NSPEEDS, by, w), lambda s, i: (s, 0, i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    ghost_in_spec = pl.BlockSpec(
-        (1, 1, ksteps, NSPEEDS, w), lambda s, i: (s, i, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    gn_out_spec = pl.BlockSpec(
-        (1, 1, ksteps, NSPEEDS, w),
-        lambda s, i: (s, (i - 1) % p_loc, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    gs_out_spec = pl.BlockSpec(
-        (1, 1, ksteps, NSPEEDS, w),
-        lambda s, i: (s, (i + 1) % p_loc, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    maskext_spec = pl.BlockSpec(
-        (1, byext, w), lambda s, i: (s * p_loc + i, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    # Carried x-edge arrays: XE[s] = WEST neighbor's last `edge` owned
-    # lanes, XW[s] = EAST neighbor's first `edge` lanes (all ny rows).
-    xedge_in_spec = pl.BlockSpec(
-        (1, NSPEEDS, by, edge), lambda s, i: (s, 0, i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    xe_out_spec = pl.BlockSpec(
-        (1, NSPEEDS, by, edge),
-        lambda s, i: ((s + 1) % px, 0, i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    xw_out_spec = pl.BlockSpec(
-        (1, NSPEEDS, by, edge),
-        lambda s, i: ((s - 1) % px, 0, i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    # Neighbor ghost-slab edge lane-blocks for the ±K corner rows of the
-    # halo bands (gs/gn are non-aliased carries, so cross-strip reads are
-    # race-free under the in-place f update).
-    last_lane_block = bx // edge - 1
-    gse_spec = pl.BlockSpec(
-        (1, 1, ksteps, NSPEEDS, edge),
-        lambda s, i: ((s + 1) % px, i, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    gsw_spec = pl.BlockSpec(
-        (1, 1, ksteps, NSPEEDS, edge),
-        lambda s, i: ((s - 1) % px, i, 0, 0, last_lane_block),
-        memory_space=pltpu.VMEM,
-    )
-    gne_spec = pl.BlockSpec(
-        (1, 1, ksteps, NSPEEDS, edge),
-        lambda s, i: ((s + 1) % px, i, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    gnw_spec = pl.BlockSpec(
-        (1, 1, ksteps, NSPEEDS, edge),
-        lambda s, i: ((s - 1) % px, i, 0, 0, last_lane_block),
-        memory_space=pltpu.VMEM,
-    )
-    fs_shape = jax.ShapeDtypeStruct((px, NSPEEDS, ny, w), jnp.float32)
-    ghost_shape = jax.ShapeDtypeStruct(
-        (px, p_loc, ksteps, NSPEEDS, w), jnp.float32
-    )
-    xedge_shape = jax.ShapeDtypeStruct((px, NSPEEDS, ny, edge), jnp.float32)
-    call = pl.pallas_call(
-        functools.partial(
-            _step_kernel_temporal_xt,
-            by=by,
-            ksteps=ksteps,
-            bx=bx,
-            w=w,
-            edge=edge,
-            omega=float(np.float32(params.omega)),
-            aw1=float(aw1),
-            aw2=float(aw2),
-            av_lanes=bx,
-        ),
-        grid=(px, p_loc),
-        in_specs=[
-            center_spec,
-            ghost_in_spec,
-            ghost_in_spec,
-            xedge_in_spec,
-            xedge_in_spec,
-            gse_spec,
-            gsw_spec,
-            gne_spec,
-            gnw_spec,
-            maskext_spec,
-        ],
-        out_specs=[
-            center_spec,
-            gs_out_spec,
-            gn_out_spec,
-            xe_out_spec,
-            xw_out_spec,
-            pl.BlockSpec(
-                (ksteps, 1), lambda s, i: (0, 0), memory_space=pltpu.SMEM
-            ),
-        ],
-        out_shape=[
-            fs_shape,
-            ghost_shape,
-            ghost_shape,
-            xedge_shape,
-            xedge_shape,
-            jax.ShapeDtypeStruct((ksteps, 1), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=int(px * ny * w * 110 * ksteps),
-            bytes_accessed=int((2 * NSPEEDS + 1) * px * ny * w * 4),
-            transcendentals=int(px * ny * w * ksteps),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES
-        ),
-        input_output_aliases={0: 0},
-        interpret=interpret,
-    )
 
     def ghosts_of(fs):
         """Ghost/edge carry slots derived from a padded strip state —
@@ -1481,10 +1565,14 @@ def build_temporal_xtiled_program(
         return (fs, ghost_buf(), ghost_buf(), xedge_buf(), xedge_buf(),
                 maskext)
 
+    # Single chip: both body-force sites always on (cf. the per-shard
+    # gates in make_sharded_temporal_xt_run).
+    gates = np.ones((1, 2), dtype=np.int32)
+
     def step(carry):
         fs, gs, gn, xe, xw, maskext = carry
         fs2, gs2, gn2, xe2, xw2, avs = call(
-            fs, gs, gn, xe, xw, gs, gs, gn, gn, maskext
+            fs, gs, gn, xe, xw, gs, gs, gn, gn, maskext, jnp.asarray(gates)
         )
         return (fs2, gs2, gn2, xe2, xw2, maskext), avs[:, 0] * fcinv
 
@@ -1586,13 +1674,28 @@ def choose_temporal_xtiled(
     only pays once the row-only window cap forces BY below 64 — at
     nx = 8192 that cap is BY=32 (25% halo waste) while strips restore
     BY=128 (~13% total waste incl. the lane pad).
+
+    Px comes from nx's divisor lattice: any Px >= 2 with lane-aligned
+    owned width BX = nx/Px >= 1024 qualifies (narrower strips drown in
+    the fixed 128-lane pad); ties on |BX - 2048| break toward the WIDER
+    strip (pad overhead is 128/BX).  This covers non-power-of-two widths
+    the old ``nx % 2048 == 0`` gate left on the row-only cliff — 10240²
+    picks Px=5 (BX=2048), 12800² Px=5 (BX=2560) (VERDICT r3 weak 3).
     """
-    if nx < 8192 or nx % 2048 != 0:
+    if nx < 8192 or ny < 16:
         return None
-    px = nx // 2048
+    cands = sorted(
+        (
+            p
+            for p in range(2, nx // 1024 + 1)
+            if nx % p == 0 and (nx // p) % 128 == 0
+        ),
+        key=lambda p: (abs(nx // p - 2048), p),
+    )
+    if not cands:
+        return None
+    px = cands[0]
     bx = nx // px
-    if bx % 128 != 0 or ny < 16:
-        return None
     _, window_budget, k_pref = _temporal_tuning(nx)
     w = bx + _XT_PAD
     for ksteps in k_pref:

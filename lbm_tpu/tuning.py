@@ -145,6 +145,7 @@ def maybe_autotune_slab(
     steps: int = 240,
     repeats: int = 2,
     log=None,
+    schedules: tuple[str, ...] = ("row",),
 ) -> bool:
     """When ``LBM_AUTOTUNE_ON_MISS=1`` and the cache has no entry for this
     device/shape, run a short measured sweep on a proxy grid of that shape
@@ -191,16 +192,19 @@ def maybe_autotune_slab(
         f"{device_kind or 'device'}|{ny}x{nx} — sweeping (steps={steps})"
     )
     params = LBMParams(nx, ny, steps, 10, 0.1, 0.005, 1.85)
-    # Row-only: the sharded temporal factories that call this consume
-    # px = 1 entries exclusively — x-tiled measurements would burn ~40 s
-    # remote compiles each and then be filtered out by choose_temporal.
+    # ``schedules`` comes from the caller's consumption ability: the 1-D
+    # sharded temporal factory (and the degenerate-x 2-D route) consume
+    # x-tiled (Px > 1) entries too and pass ("row", "xtiled"); the padded
+    # 2-D tile consumes px = 1 entries only — sweeping x-tiled candidates
+    # there would burn ~40 s remote compiles each and then be filtered
+    # out by choose_temporal.
     results = autotune_sweep(
         params,
         channel_box(nx, ny),
         steps=steps,
         repeats=repeats,
         log=log,
-        schedules=("row",),
+        schedules=schedules,
     )
     return bool(results)
 
@@ -256,30 +260,29 @@ def xtiled_candidates(
     """(BY, K, Px) sweep candidates for the x-tiled temporal schedule
     (``build_temporal_xtiled_program``): Px >= 2 column strips of
     lane-aligned width BX = nx/Px >= 1024 (narrower strips drown in the
-    fixed 128-lane pad), windows sized against W = BX + 128.  Same
+    fixed 128-lane pad), windows sized against W = BX + 128.  Px walks
+    nx's full divisor lattice (not just powers of two) so
+    non-2048-multiple widths like 10240/12800 get swept too.  Same
     structural and VMEM rules as :func:`temporal_candidates` otherwise;
     VMEM-pruned candidates go to ``skipped`` as (BY, K, Px)."""
     from lbm_tpu.ops.fused import _XT_PAD, _xtiled_structurally_valid
 
     out = []
-    px = 2
-    while nx // px >= 1024:
+    for px in range(2, nx // 1024 + 1):
         bx = nx // px
+        if nx % px != 0 or bx % 128 != 0:
+            continue
         w = bx + _XT_PAD
-        if nx % px == 0 and bx % 128 == 0:
-            by = 8
-            while by * 2 <= ny:
-                if ny % by == 0:
-                    for k in (2, 4, 8, 16):
-                        if _xtiled_structurally_valid(
-                            ny, nx, by, k, px, steps
-                        ):
-                            if (by + 2 * k) * w <= _WINDOW_CELL_CAP:
-                                out.append((by, k, px))
-                            elif skipped is not None:
-                                skipped.append((by, k, px))
-                by *= 2
-        px *= 2
+        by = 8
+        while by * 2 <= ny:
+            if ny % by == 0:
+                for k in (2, 4, 8, 16):
+                    if _xtiled_structurally_valid(ny, nx, by, k, px, steps):
+                        if (by + 2 * k) * w <= _WINDOW_CELL_CAP:
+                            out.append((by, k, px))
+                        elif skipped is not None:
+                            skipped.append((by, k, px))
+            by *= 2
     return out
 
 

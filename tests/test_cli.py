@@ -231,6 +231,34 @@ def test_run_shards_temporal_split(small_case, capsys):
     assert (small_case / "sh1dt" / "av_vels.dat").exists()
 
 
+def test_run_shards_temporal_split_xtiled(small_case, capsys):
+    """--temporal-split BYxKxPX drives the x-tiled local schedule through
+    the 1-D sharded path (PX column strips per shard)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    rc = cli.main(
+        [
+            "run",
+            str(small_case / "input.params"),
+            str(small_case / "obstacles.dat"),
+            "--output-dir",
+            str(small_case / "sh1dxt"),
+            "--shards",
+            "2",
+            "--temporal-split",
+            "8x2x2",
+            "--max-iters",
+            "16",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Kernel variant: temporal (steps/pass 2)" in out
+    assert (small_case / "sh1dxt" / "av_vels.dat").exists()
+
+
 def test_run_mesh_checkpointed(small_case, capsys):
     """--mesh + --checkpoint-dir runs segmented over the 2-D mesh."""
     import jax
@@ -279,6 +307,10 @@ def test_mesh_flag_validation(small_case):
         cli.main(base + ["--temporal-split", "128x8"])
     with pytest.raises(SystemExit, match="--temporal-split must be AxB"):
         cli.main(base + ["--shards", "2", "--temporal-split", "banana"])
+    with pytest.raises(SystemExit, match="BYxK or BYxKxPX"):
+        cli.main(base + ["--shards", "2", "--temporal-split", "8x2x0"])
+    with pytest.raises(SystemExit, match="BYxK or BYxKxPX"):
+        cli.main(base + ["--shards", "2", "--temporal-split", "8x2xq"])
     with pytest.raises(SystemExit, match="reference"):
         cli.main(
             base

@@ -142,6 +142,46 @@ def test_temporal_blocking():
     )
 
 
+def test_temporal_fp16_storage():
+    """16-bit HBM residency for the temporal carry (fp32 in-kernel
+    compute): the short-horizon trajectory must track the fp32 path
+    within fp16 quantization (~1e-3 relative per store, compounding
+    slowly), the carry leaves must actually BE 16-bit, and the fp32
+    default must be bit-identical to the pre-storage-parameter kernel
+    (covered by test_temporal_blocking).  Long-horizon drift is a
+    hardware experiment (docs/PERF.md round 4)."""
+    from lbm_tpu.ops.fused import build_temporal_program
+
+    params = LBMParams(128, 16, 8, 10, 0.1, 0.01, 1.85)
+    obstacles = channel_box(128, 16, interior_row=9)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    ref = jax.jit(make_step_fn(params, obstacles, fcinv))
+    program = build_temporal_program(
+        params, obstacles, fcinv, by=4, ksteps=2, interpret=True,
+        storage=jnp.float16,
+    )
+    step = jax.jit(program.step)
+    f_ref = init_cells(params)
+    carry = program.init(f_ref)
+    assert carry[0].dtype == jnp.float16
+    assert carry[1].dtype == jnp.float16 and carry[2].dtype == jnp.float16
+    avs_ref, avs_16 = [], []
+    for _ in range(4):
+        carry, avs = step(carry)
+        avs_16.append(np.asarray(avs))
+    for _ in range(8):
+        f_ref, av = ref(f_ref)
+        avs_ref.append(float(av))
+    f16 = np.asarray(program.final(carry))
+    assert f16.dtype == np.float32  # final() widens for the readback path
+    np.testing.assert_allclose(
+        np.asarray(f_ref), f16, rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.concatenate(avs_16), np.asarray(avs_ref), rtol=2e-2, atol=1e-6
+    )
+
+
 def test_temporal_blocking_k4():
     """Deeper time blocks (K=4 on BY=8) still match."""
     from lbm_tpu.ops.fused import build_temporal_program
@@ -348,6 +388,16 @@ def test_choose_temporal_xtiled():
     # narrower grids keep the plain row-blocked schedule
     assert choose_temporal_xtiled(4096, 4096, 2000) is None
     assert choose_temporal_xtiled(1024, 1024, 20000) is None
+    # Non-power-of-two divisor lattice (VERDICT r3 weak 3): 10240 picks
+    # Px=5 (BX=2048 exactly), 12800 Px=5 (BX=2560 — nearest lane-aligned
+    # width to 2048, wider preferred on pad-overhead grounds).
+    by, k, px = choose_temporal_xtiled(10240, 10240, 20000)
+    assert px == 5 and 10240 % px == 0 and (10240 // px) % 128 == 0
+    assert 2 <= k <= by - 2 and 10240 % by == 0
+    by, k, px = choose_temporal_xtiled(12800, 12800, 20000)
+    assert px == 5 and (12800 // px) == 2560
+    # A width with no lane-aligned strip divisor declines.
+    assert choose_temporal_xtiled(8192, 8200, 20000) is None
 
 
 def test_megakernel():

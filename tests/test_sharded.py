@@ -383,6 +383,108 @@ def test_sharded_temporal_2d_matches_single_device(eight_devices, py, px):
     )
 
 
+# n_shards=2 is the fast representative (exercises the cross-device slab
+# patch); 1 (degenerate self-wrap) and 4 (multi-hop ring) are medium.
+@pytest.mark.parametrize(
+    "n_shards",
+    [
+        pytest.param(1, marks=pytest.mark.medium),
+        2,
+        pytest.param(4, marks=pytest.mark.medium),
+    ],
+)
+def test_sharded_temporal_xt_matches_single_device(eight_devices, n_shards):
+    """The x-tiled sharded temporal path (local column strips + K-row
+    ghost slab exchange over the y ring): f must be BITWISE equal to the
+    single-chip x-tiled program with the same (BY, K, Px) — identical
+    per-(strip, block) window contents, only the av reduction regroups —
+    and match the jnp reference within fp32 reordering noise.  Walls sit
+    on the body-force row and across the strip boundary."""
+    from lbm_tpu.ops.fused import build_temporal_xtiled_program
+    from lbm_tpu.ops.reference import init_cells
+    from lbm_tpu.parallel.sharded import make_sharded_temporal_run
+
+    params = dataclasses.replace(PARAMS, ny=64, nx=64, max_iters=12)
+    obstacles = channel_box(
+        params.nx, params.ny, interior_row=params.ny - 3, interior_col=33
+    )
+    single = Simulator(params, obstacles, kernel="reference").run()
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    run = make_sharded_temporal_run(
+        params,
+        obstacles,
+        fcinv,
+        default_mesh(n_shards),
+        by=8,
+        ksteps=2,
+        px=2,
+        interpret=True,
+    )
+    assert run is not None and run.chunk == 2
+    f_fin, avs = run(init_cells(params))
+    np.testing.assert_allclose(
+        np.asarray(f_fin), single.f, rtol=1e-5, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(avs), single.av_vels, rtol=5e-4)
+
+    prog = build_temporal_xtiled_program(
+        params, obstacles, fcinv, by=8, ksteps=2, px=2, interpret=True
+    )
+    carry = prog.init(init_cells(params))
+    avs_t = []
+    for _ in range(params.max_iters // prog.chunk):
+        carry, av = prog.step(carry)
+        avs_t.append(np.asarray(av))
+    np.testing.assert_array_equal(
+        np.asarray(f_fin), np.asarray(prog.final(carry))
+    )
+    np.testing.assert_allclose(
+        np.asarray(avs), np.concatenate(avs_t), rtol=1e-4
+    )
+
+
+def test_sharded_temporal_xt_routes_and_validates(eight_devices):
+    """Explicit (BY, K, PX) splits route end-to-end through
+    ShardedSimulator on 1-D meshes and on 2-D meshes with a degenerate x
+    axis; a 2-D mesh with real x sharding rejects the x-tiled split (the
+    strips are LOCAL x tiling); malformed split tuples are rejected."""
+    from lbm_tpu.parallel.sharded import default_mesh_2d
+
+    params = dataclasses.replace(PARAMS, ny=64, nx=64, max_iters=12)
+    obstacles = channel_box(params.nx, params.ny, interior_col=33)
+    single = Simulator(params, obstacles, kernel="reference").run()
+    for mesh in (default_mesh(2), default_mesh_2d(2, 1)):
+        sim = ShardedSimulator(
+            params,
+            obstacles,
+            mesh=mesh,
+            kernel="temporal",
+            interpret=True,
+            temporal_split=(8, 2, 2),
+        )
+        res = sim.run()
+        assert sim.variant() == "temporal" and sim.chunk(12) == 2
+        np.testing.assert_allclose(res.f, single.f, rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=5e-4)
+    with pytest.raises(ValueError, match="x shard"):
+        ShardedSimulator(
+            params,
+            obstacles,
+            mesh=default_mesh_2d(2, 2),
+            kernel="temporal",
+            interpret=True,
+            temporal_split=(8, 2, 2),
+        ).compiled()
+    with pytest.raises(ValueError, match="BY, K"):
+        ShardedSimulator(
+            params,
+            obstacles,
+            mesh=default_mesh(2),
+            kernel="temporal",
+            temporal_split=(8,),
+        )
+
+
 def test_sharded_simulator_routes_2d_temporal(eight_devices):
     """ShardedSimulator(kernel='temporal') on a 2-D mesh uses the 2-D
     temporal path end-to-end (no silent fallback); an invalid explicit
@@ -545,6 +647,9 @@ def test_no_factory_embeds_the_mask_as_an_hlo_literal(eight_devices):
         (make_sharded_temporal_2d_run(
             params, obstacles, fcinv, mesh2, by=8, ksteps=2, **kw),
          mesh2, P(None, AXIS, AXIS_X)),
+        (make_sharded_temporal_run(
+            params, obstacles, fcinv, mesh, by=8, ksteps=2, px=2, **kw),
+         mesh, P(None, AXIS, None)),
     ]
     for run, m, spec in cases:
         s = jax.ShapeDtypeStruct(
