@@ -16,10 +16,16 @@ Two on-disk layouts:
   LAST as the commit point.  Shard files are step-stamped, so a crash
   mid-snapshot leaves the previous complete set referenced by the old
   meta; stale-step files are pruned after the meta commits.  On a
-  multi-host mesh each process would write only its local shards (the
-  reason per-shard beats a global gather at 8192², where the gathered
-  snapshot is 2.4 GB).  Resume reassembles the global array on host and
-  re-shards to whatever mesh the resuming run uses (cross-mesh resume).
+  multi-host (multi-process) mesh each process writes ONLY its local
+  shards (the reason per-shard beats a global gather at 8192², where the
+  gathered snapshot is 2.4 GB); shard filenames are keyed by global
+  (y0, x0) offset so they are process-collision-free, and process 0
+  commits a meta whose shard list is derived from the GLOBAL sharding
+  layout (no cross-host data motion) after a barrier — validated
+  end-to-end by ``tools/multihost_smoke.py`` on a real 2-process CPU
+  mesh.  Resume reassembles the global array on host (every process
+  reads the shared directory) and re-shards to whatever mesh the
+  resuming run uses (cross-mesh resume).
 """
 
 from __future__ import annotations
@@ -137,21 +143,53 @@ def save(
     return path
 
 
+def _slice_start_len(idx, dim: int, full: int) -> tuple[int, int]:
+    """(start, length) of one dim of a shard index tuple (slices with
+    None endpoints mean the whole dim)."""
+    if dim >= len(idx):
+        return 0, full
+    s = idx[dim]
+    start = s.start or 0
+    stop = s.stop if s.stop is not None else full
+    return int(start), int(stop - start)
+
+
+def _shard_filename(step: int, y0: int, x0: int) -> str:
+    """Coordinate-keyed shard filename: globally unique across the
+    PROCESSES of a multi-host mesh (a per-process counter would collide —
+    every process numbers its own local shards from zero)."""
+    return f"lbm_checkpoint.step{step}.shard.y{y0}.x{x0}.npz"
+
+
 def save_sharded(
     directory: str | pathlib.Path,
     params: LBMParams,
     obstacles: np.ndarray,
     step: int,
-    f,  # jax.Array [9, ny, nx], possibly sharded over a mesh
+    f,  # jax.Array [9, ny, nx], possibly sharded over a (multi-host) mesh
     av_vels: np.ndarray,
 ) -> pathlib.Path:
     """Snapshot a (sharded) device array per shard — no global gather.
 
-    Each addressable shard's slab goes to its own step-stamped ``.npz``
-    (written tmp-then-rename); the meta JSON referencing the exact file
-    set is renamed into place last, making it the commit point.  Bytes
-    moved per shard = ``9 * nyl * nxl * 4`` (reported in the meta for
-    observability).  Works for a single-device array too (one shard).
+    Each addressable shard's slab goes to its own step-stamped,
+    coordinate-keyed ``.npz`` (written tmp-then-rename); the meta JSON
+    referencing the exact file set is renamed into place last, making it
+    the commit point.  Bytes moved per shard = ``9 * nyl * nxl * 4``
+    (reported in the meta for observability).  Works for a single-device
+    array too (one shard).
+
+    Multi-host (``jax.process_count() > 1``; every process calls this —
+    SPMD): each process writes ONLY its addressable shards' slabs; a
+    cross-process barrier then lets process 0 write the av stream and the
+    meta.  The meta's shard list is derived from the GLOBAL sharding
+    layout (``sharding.devices_indices_map`` — pure metadata, no
+    cross-host data motion), which the deterministic coordinate-keyed
+    filenames make enumerable without gathering anything.  A second
+    barrier after the commit keeps a racing process from starting the
+    NEXT segment's save while process 0's stale-prune (which removes
+    every ``lbm_checkpoint*`` file outside the committed set) is still
+    running.  Validated on a real 2-process CPU mesh by
+    ``tools/multihost_smoke.py``.
     """
     directory = pathlib.Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
@@ -165,45 +203,77 @@ def save_sharded(
     slabs: dict[tuple[int, int], np.ndarray] = {}
     for s in f.addressable_shards:
         idx = s.index  # (speeds, y, x) slices into the global array
-        y0 = idx[1].start or 0 if len(idx) > 1 else 0
-        x0 = idx[2].start or 0 if len(idx) > 2 else 0
+        y0, _ = _slice_start_len(idx, 1, f.shape[1])
+        x0, _ = _slice_start_len(idx, 2, f.shape[2])
         if (y0, x0) not in slabs:
             slabs[(y0, x0)] = np.asarray(s.data, dtype=np.float32)
-    entries = []
-    for k, ((y0, x0), slab) in enumerate(sorted(slabs.items())):
-        name = f"lbm_checkpoint.step{step}.shard{k:04d}.npz"
-        tmp = directory / (name + ".tmp")
+    import jax
+
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+    for (y0, x0), slab in sorted(slabs.items()):
+        name = _shard_filename(step, y0, x0)
+        # Process-unique tmp name: a dim replicated ACROSS processes makes
+        # two processes write the same (identical-content) final file —
+        # benign last-rename-wins, but a shared tmp name would race.
+        tmp = directory / (name + f".tmp{proc}")
         with open(tmp, "wb") as fp:
             np.savez(fp, f_local=slab)
         tmp.replace(directory / name)
+    # Global shard list from the sharding LAYOUT (covers non-addressable
+    # shards too — process 0 must commit a meta referencing every
+    # process's files).
+    entries = []
+    seen: set[tuple[int, int]] = set()
+    index_map = f.sharding.devices_indices_map(f.shape)
+    for idx in index_map.values():
+        y0, ylen = _slice_start_len(idx, 1, f.shape[1])
+        x0, xlen = _slice_start_len(idx, 2, f.shape[2])
+        if (y0, x0) in seen:
+            continue
+        seen.add((y0, x0))
+        _, d0len = _slice_start_len(idx, 0, f.shape[0])
+        shape = [d0len, ylen, xlen]
         entries.append(
             {
-                "file": name,
-                "y0": int(y0),
-                "x0": int(x0),
-                "shape": list(slab.shape),
-                "mbytes": round(slab.nbytes / 1e6, 3),
+                "file": _shard_filename(step, y0, x0),
+                "y0": y0,
+                "x0": x0,
+                "shape": shape,
+                "mbytes": round(d0len * ylen * xlen * 4 / 1e6, 3),
             }
         )
-    av_tmp = directory / (AV_FILENAME + ".tmp")
-    with open(av_tmp, "wb") as fp:
-        np.savez(fp, av_vels=av)
-    av_tmp.replace(directory / AV_FILENAME)
-    meta = {
-        "version": 2,
-        "params": dataclasses.asdict(params),
-        "step": step,
-        "mask_digest": _mask_digest(obstacles),
-        "shards": entries,
-    }
+    entries.sort(key=lambda e: (e["y0"], e["x0"]))
     meta_path = directory / META_FILENAME
-    meta_tmp = directory / (META_FILENAME + ".tmp")
-    meta_tmp.write_text(json.dumps(meta, indent=1) + "\n")
-    meta_tmp.replace(meta_path)
-    # Committed: prune shard files from other steps, any (now stale) v1
-    # snapshot, and tmp orphans from earlier crashed saves.
-    keep = {e["file"] for e in entries} | {AV_FILENAME, META_FILENAME}
-    _prune_stale(directory, keep=keep)
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        # Every process's shard files must be durable before the meta
+        # references them.
+        multihost_utils.sync_global_devices(f"lbm_ckpt_pre_{step}")
+    if proc == 0:
+        av_tmp = directory / (AV_FILENAME + ".tmp")
+        with open(av_tmp, "wb") as fp:
+            np.savez(fp, av_vels=av)
+        av_tmp.replace(directory / AV_FILENAME)
+        meta = {
+            "version": 2,
+            "params": dataclasses.asdict(params),
+            "step": step,
+            "mask_digest": _mask_digest(obstacles),
+            "shards": entries,
+        }
+        meta_tmp = directory / (META_FILENAME + ".tmp")
+        meta_tmp.write_text(json.dumps(meta, indent=1) + "\n")
+        meta_tmp.replace(meta_path)
+        # Committed: prune shard files from other steps, any (now stale)
+        # v1 snapshot, and tmp orphans from earlier crashed saves.
+        keep = {e["file"] for e in entries} | {AV_FILENAME, META_FILENAME}
+        _prune_stale(directory, keep=keep)
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"lbm_ckpt_post_{step}")
     return meta_path
 
 

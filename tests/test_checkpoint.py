@@ -538,3 +538,25 @@ def test_committed_save_prunes_orphaned_tmp_files(tmp_path):
     for p in orphans:
         assert not p.exists(), f"orphan survived the v1 commit: {p.name}"
     assert ckpt.load(tmp_path).step == 8
+
+
+@pytest.mark.slow
+def test_multihost_smoke():
+    """REAL 2-process mesh (jax.distributed over localhost, CPU devices):
+    the sharded SPMD program runs across processes, v2 checkpointing
+    writes per-process shard files with a cross-process meta commit, and
+    a resume is bit-continuous (tools/multihost_smoke.py; validates the
+    multi-host wording in lbm_tpu/checkpoint.py — SURVEY §5.8)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools" / "multihost_smoke.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PASS: 2 processes" in proc.stdout
