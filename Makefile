@@ -3,7 +3,7 @@
 
 PY ?= python3
 
-.PHONY: all native test test-all check check-self bench clean \
+.PHONY: all native test test-medium test-all check check-self bench clean \
 	check-128x128 check-128x256 check-256x256-av check-1024x1024-av \
 	check-self-128x128 check-self-128x256 check-self-256x256-av \
 	check-self-1024x1024-av
@@ -16,6 +16,11 @@ native:
 
 test:
 	$(PY) -m pytest tests/ -x -q
+
+# Fast tier + the heavy interpret-mode kernel/mesh combos (no full-length
+# golden runs).
+test-medium:
+	$(PY) -m pytest tests/ -x -q -m "not slow"
 
 test-all:
 	$(PY) -m pytest tests/ -x -q -m ""
@@ -56,16 +61,18 @@ $(CASES_AV:%=check-%-av): check-%-av: $(REF)/input_%.params
 # validates against the vendored fp64-engine goldens (tests/goldens/,
 # cross-checked vs upstream at generation).  Needs no /root/reference
 # mount.  128x128/128x256 check av_vels AND final_state at full length;
-# 256x256 checks the full 80000-step av series; 1024x1024 runs the
-# vendored 600-step prefix (its full-length golden would take ~80 min of
-# fp64 regeneration — the full case is gated by `make check` / bench_all
-# when the reference is mounted).
+# 256x256 and 1024x1024 check their full-length (80000 / 20000 step)
+# av series.
 GOLD := tests/goldens
 SELF_IN := /tmp/lbm_self_inputs
 check-self: $(CASES_FULL:%=check-self-%) $(CASES_AV:%=check-self-%-av)
 	@echo "== all four cases passed (self-contained goldens) =="
 
-$(CASES_FULL:%=check-self-%): check-self-%: $(GOLD)/%.fp64gen_av_vels.dat
+# The final_state golden is a prerequisite too: without it the failure
+# would otherwise surface only AFTER the full 40k-step CLI run (check.py
+# file-not-found) — fail fast instead.
+$(CASES_FULL:%=check-self-%): check-self-%: $(GOLD)/%.fp64gen_av_vels.dat \
+		$(GOLD)/%.fp64gen_final_state.dat
 	$(PY) tools/gen_inputs.py $* $(SELF_IN)
 	$(PY) -m lbm_tpu.cli run $(SELF_IN)/input_$*.params \
 	    $(SELF_IN)/obstacles_$*.dat --output-dir /tmp/lbm_self_$*
@@ -76,11 +83,10 @@ $(CASES_FULL:%=check-self-%): check-self-%: $(GOLD)/%.fp64gen_av_vels.dat
 	    --final-state-file /tmp/lbm_self_$*/final_state.dat
 
 # The av-only rules run exactly as many steps as the vendored golden
-# holds (full length for 256x256, a 600-step prefix for 1024x1024 —
-# regenerating its full 20000-step fp64 series would take ~80 min).  A
-# prefix run is a true prefix gate: the av_vels series of an N-step run
-# is identical to the first N entries of a longer run (the recurrence
-# has no dependence on max_iters).
+# holds (full length for both cases since round 4).  Sizing the run off
+# the golden keeps the rule correct for any vendored length: the
+# av_vels series of an N-step run is identical to the first N entries
+# of a longer run (the recurrence has no dependence on max_iters).
 $(CASES_AV:%=check-self-%-av): check-self-%-av: $(GOLD)/%.fp64gen_av_vels.dat
 	$(PY) tools/gen_inputs.py $* $(SELF_IN) \
 	    --max-iters $$(wc -l < $(GOLD)/$*.fp64gen_av_vels.dat)

@@ -39,6 +39,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: full-length golden runs (deselect with -m 'not slow')"
     )
+    config.addinivalue_line(
+        "markers",
+        "medium: heavy interpret-mode kernel/mesh combos — each has a "
+        "fast-tier representative; run with `make test-medium`/`test-all`",
+    )
 
 
 @pytest.fixture(scope="session")

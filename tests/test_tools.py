@@ -63,20 +63,35 @@ def test_ablated_modes_match_the_production_carry(interpret_pallas):
 
 def test_bench_all_golden_series_falls_back_to_vendored(monkeypatch, tmp_path):
     """bench_all's drift gate works without the reference mount: it falls
-    back to the vendored fp64 goldens — full-length where available,
-    else a loudly-labeled prefix gate (the caller compares the
-    overlapping steps and prints a NOTE line; no-silent-caps)."""
+    back to the vendored fp64 goldens — ALL FOUR full-length since round
+    4 — and a truncated vendored series still gates as a loudly-labeled
+    prefix (the caller compares the overlapping steps and prints a NOTE
+    line; no-silent-caps)."""
     ba = _load("bench_all")
     monkeypatch.setattr(ba, "GOLDEN_DIR", tmp_path / "no_reference")
 
-    vendored = ba.golden_series("128x128", 40000)
-    assert vendored is not None and vendored.size == 40000
+    for case, steps in (
+        ("128x128", 40000), ("128x256", 40000),
+        ("256x256", 80000), ("1024x1024", 20000),
+    ):
+        vendored = ba.golden_series(case, steps)
+        assert vendored is not None and vendored.size == steps, case
 
-    # Prefix-only vendored series still gate (the caller labels them).
+    # A truncated vendored series (e.g. regenerated short) still gates
+    # as a prefix rather than being dropped.
+    vend = tmp_path / "vendored"
+    vend.mkdir()
+    head = np.loadtxt(
+        ba.VENDORED_DIR / "1024x1024.fp64gen_av_vels.dat", usecols=[1]
+    )[:600]
+    from lbm_tpu.io import write_av_vels
+
+    write_av_vels(vend / "1024x1024.fp64gen_av_vels.dat", head)
+    monkeypatch.setattr(ba, "VENDORED_DIR", vend)
     prefix = ba.golden_series("1024x1024", 20000)
     assert prefix is not None and 0 < prefix.size < 20000
     # Longer than the run -> wrong case/params: never gate against it.
-    assert ba.golden_series("128x128", 100) is None
+    assert ba.golden_series("1024x1024", 100) is None
     # Unknown case -> None.
     assert ba.golden_series("7x7", 100) is None
 

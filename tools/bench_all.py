@@ -34,11 +34,10 @@ REFERENCE_SECONDS = {
 GOLDEN_DIR = pathlib.Path("/root/reference/check")
 # Self-contained fallback: vendored fp64-engine goldens
 # (tools/gen_goldens.py) keep the drift gate working with the reference
-# mount absent.  128x128 and 128x256 are full-length; 256x256 (4000 of
-# 80000 steps) and 1024x1024 (600 of 20000) are PREFIXES — those cases
-# get a prefix gate, loudly labeled (no-silent-caps rule): a >1% physics
-# regression shows in the first few hundred steps, but genuine
-# long-horizon fp32 drift is only gated when the full series is present.
+# mount absent.  All four vendored series are FULL length since round 4,
+# so the fallback gate is as strong as the mounted one; the prefix
+# handling below stays as a loudly-labeled degradation (no-silent-caps
+# rule) in case a golden is ever regenerated short.
 VENDORED_DIR = pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
 
 

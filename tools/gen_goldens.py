@@ -28,18 +28,17 @@ from lbm_tpu.config import CANONICAL_PARAMS
 from lbm_tpu.geometry import canonical_obstacles
 from lbm_tpu.validation import run64
 
-# Series lengths: three cases vendor their FULL reference length (40000 /
-# 80000 steps — a suite without the reference mount then still exercises
-# long-horizon fp32 drift, the exact risk SURVEY §7 flags; 256x256's 80k
-# steps are the hardest drift case of all four).  1024² vendors a prefix
-# long enough to exercise drift while keeping the fp64 engine's
-# regeneration time in minutes (1024² runs at ~0.25 s/step in float64
-# NumPy — its full 20000 steps would be ~80 min).
+# Series lengths: ALL FOUR cases vendor their FULL reference length — a
+# suite without the reference mount then still exercises long-horizon fp32
+# drift, the exact risk SURVEY §7 flags (256x256's 80k steps are the
+# hardest drift case; 1024² is the only accel=0.01 config).  Regeneration
+# cost: 1024² runs at ~0.25 s/step in float64 NumPy, so its 20000 steps
+# are a one-time ~80-minute run (the other three total a few minutes).
 PREFIX_STEPS = {
     "128x128": 40000,  # full length (matches check/128x128.av_vels.dat)
     "128x256": 40000,  # full length
     "256x256": 80000,  # full length (matches check/256x256.av_vels.dat)
-    "1024x1024": 600,
+    "1024x1024": 20000,  # full length (matches check/1024x1024.av_vels.dat)
 }
 # Cases that also vendor a final_state golden.  Only meaningful at full
 # length (final_state is the END state), and — mirroring the upstream
@@ -85,8 +84,12 @@ def generate(case: str, outdir: pathlib.Path) -> None:
     if case in FINAL_STATE_CASES and steps == params.max_iters:
         from lbm_tpu.io import write_final_state
 
+        # Write to a temp path and rename only after the cross-check
+        # passes, so a failing cross-check can never leave a bad golden on
+        # disk (potentially clobbering a previously good one).
         out_fs = outdir / f"{case}.fp64gen_final_state.dat"
-        write_final_state(out_fs, params, f, obstacles)
+        tmp_fs = outdir / f"{case}.fp64gen_final_state.dat.tmp"
+        write_final_state(tmp_fs, params, f, obstacles)
         ref_fs = REFERENCE_CHECK / f"{case}.final_state.dat"
         if ref_fs.exists():
             # The checker protocol reads columns [0, 1, 5] = x, y,
@@ -94,8 +97,9 @@ def generate(case: str, outdir: pathlib.Path) -> None:
             # reference's own columns 2-3 carry its stale-shadowing bug,
             # d2q9-bgk.c:811,819 — deliberately not reproduced here).
             golden_fs = np.loadtxt(ref_fs, usecols=[0, 1, 5])
-            ours = np.loadtxt(out_fs, usecols=[0, 1, 5])
+            ours = np.loadtxt(tmp_fs, usecols=[0, 1, 5])
             if (golden_fs[:, :2] != ours[:, :2]).any():
+                tmp_fs.unlink()
                 raise SystemExit(f"{case}: final_state coordinate order "
                                  "differs from the reference golden")
             fs_pct = (
@@ -103,12 +107,14 @@ def generate(case: str, outdir: pathlib.Path) -> None:
             )
             print(f"  final_state cross-check: max {fs_pct.max():.2e}%")
             if not fs_pct.max() < CROSSCHECK_TOL_PCT:
+                tmp_fs.unlink()
                 raise SystemExit(
                     f"{case}: fp64 final_state deviates {fs_pct.max():.4f}% "
                     "from the reference golden — refusing to vendor"
                 )
         else:
             print("  (reference final_state not mounted; no cross-check)")
+        tmp_fs.replace(out_fs)
         print(f"  wrote {out_fs}")
 
 
