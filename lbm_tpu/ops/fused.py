@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable
 
 import jax
@@ -70,14 +71,25 @@ from lbm_tpu.ops.reference import accel_weights, uniform_weights
 # Mosaic's default scoped-VMEM limit is 16 MiB, far below the v5e's
 # physical VMEM; all kernels raise it (measured: BY=128 row blocks and
 # 48-row temporal windows compile and run faster once unlocked).
-_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+#
+# These limits — and the cell budgets below, which were measured AGAINST
+# this limit on v5e — govern every device kind.  On a chip with more
+# VMEM, either set ``LBM_VMEM_LIMIT_MB`` (the cell budgets scale
+# linearly with it: window VMEM use is proportional to cells) or let
+# ``LBM_AUTOTUNE_ON_MISS=1`` sweep the real hardware once — the tuning
+# cache is keyed per device kind, so a measured pick always beats these
+# heuristics (lbm_tpu/tuning.py).
+_VMEM_LIMIT_BYTES = (
+    int(os.environ.get("LBM_VMEM_LIMIT_MB", "100")) * 1024 * 1024
+)
+_VMEM_SCALE = _VMEM_LIMIT_BYTES / (100 * 1024 * 1024)
 
 # Budget for cells per (9-plane) row block (with the raised VMEM limit).
-_BLOCK_CELL_BUDGET = 128 * 1024
+_BLOCK_CELL_BUDGET = int(128 * 1024 * _VMEM_SCALE)
 
 # Grids up to this many cells run the whole-grid multi-step kernel (f plus
 # ~2x temporaries resident in VMEM for N timesteps per launch).
-_MULTISTEP_CELL_BUDGET = 256 * 1024
+_MULTISTEP_CELL_BUDGET = int(256 * 1024 * _VMEM_SCALE)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -2027,8 +2039,9 @@ def build_mega_program(
 # Empirical VMEM budget for the temporal kernel's (BY+2K)-row working set
 # (unrolled-step temporaries): cells per window, with the raised VMEM
 # limit.  (128+16)x1024 and (64+8)x4096 both fit; (64+32)x4096 (393k) and
-# (512+16)x1024 (540k) overflow.
-_TEMPORAL_WINDOW_BUDGET = 192 * 1024
+# (512+16)x1024 (540k) overflow.  Scales with ``LBM_VMEM_LIMIT_MB``
+# (see _VMEM_LIMIT_BYTES).
+_TEMPORAL_WINDOW_BUDGET = int(192 * 1024 * _VMEM_SCALE)
 
 
 def _temporal_tuning(nx: int) -> tuple[int, int, tuple[int, ...]]:
@@ -2043,7 +2056,11 @@ def _temporal_tuning(nx: int) -> tuple[int, int, tuple[int, ...]]:
     'wide grids are anomalously slow' lore was a tuning artifact: at the
     right (BY, K) every size runs ~20-22 GLUPS pure-step.)"""
     if nx >= 2048:
-        return 256 * 1024, 340 * 1024, (4, 8, 2)
+        return (
+            int(256 * 1024 * _VMEM_SCALE),
+            int(340 * 1024 * _VMEM_SCALE),
+            (4, 8, 2),
+        )
     return _BLOCK_CELL_BUDGET, _TEMPORAL_WINDOW_BUDGET, (8, 4, 2)
 
 
