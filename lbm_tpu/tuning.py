@@ -300,13 +300,16 @@ def time_temporal_candidate(
     repeats: int,
     log=_print_flush,
     px: int = 1,
+    storage=None,
 ) -> float | None:
     """Best-of-``repeats`` µs/step for one (BY, K) — or, with ``px`` > 1,
     one x-tiled (BY, K, Px) — on the actual device, or None on failure
     (VMEM overflow, compile-service error, invalid split — a sweep logs
     and moves on).  Timing: long donated-carry scans synced with
     ``device_get`` (docs/PERF.md methodology — ``block_until_ready``
-    under-reports through the tunnel)."""
+    under-reports through the tunnel).  ``storage`` overrides the HBM
+    dtype of the carried state (fp16-residency experiment; row-blocked
+    ``px == 1`` only — the x-tiled kernel is fp32-storage)."""
     import functools
     import time
 
@@ -322,13 +325,23 @@ def time_temporal_candidate(
     import numpy as np
 
     fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    if px > 1 and storage is not None:
+        # A caller error, not a sweep miss — raise instead of the silent
+        # None the sweep-candidate failures return.
+        raise ValueError(
+            "storage override requires the row-blocked schedule "
+            "(px == 1); the x-tiled kernel is fp32-storage"
+        )
     try:
         if px > 1:
             prog = build_temporal_xtiled_program(
                 params, obstacles, fcinv, by, k, px
             )
         else:
-            prog = build_temporal_program(params, obstacles, fcinv, by, k)
+            kwargs = {} if storage is None else {"storage": storage}
+            prog = build_temporal_program(
+                params, obstacles, fcinv, by, k, **kwargs
+            )
     except ValueError:
         return None
 
