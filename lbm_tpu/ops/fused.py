@@ -1681,49 +1681,64 @@ def choose_temporal_xtiled(
     """Pick (BY, K, Px) for the x-tiled temporal schedule, or None when
     plain row blocking is the better (or only) choice.
 
-    Heuristic (docs/PERF.md): strips of ~2048 owned lanes hit the
-    measured sweet spot (22.3 GLUPS at 2048² with (128, 4)); x-tiling
-    only pays once the row-only window cap forces BY below 64 — at
-    nx = 8192 that cap is BY=32 (25% halo waste) while strips restore
-    BY=128 (~13% total waste incl. the lane pad).
+    Heuristic (docs/PERF.md): x-tiling only pays once the row-only
+    window cap forces BY below 64 — at nx = 8192 that cap is BY=32 (25%
+    halo waste) while strips restore BY=128 (~13% total waste incl. the
+    lane pad).
 
     Px comes from nx's divisor lattice: any Px >= 2 with lane-aligned
     owned width BX = nx/Px >= 1024 qualifies (narrower strips drown in
-    the fixed 128-lane pad); ties on |BX - 2048| break toward the WIDER
-    strip (pad overhead is 128/BX).  This covers non-power-of-two widths
-    the old ``nx % 2048 == 0`` gate left on the row-only cliff — 10240²
-    picks Px=5 (BX=2048), 12800² Px=5 (BX=2560) (VERDICT r3 weak 3).
+    the fixed 128-lane pad).  K keeps the measured preference order
+    (``_temporal_tuning`` — the waste model below cannot see HBM
+    amortization, which is what ranks K); Px then maximizes the useful
+    fraction of the computed window,
+
+        score(Px) = BY/(BY + 2K) * BX/(BX + _XT_PAD)
+
+    with BY the largest VMEM-fitting row block at that strip width
+    (halo-recompute waste x lane-pad waste — both recomputed rows and
+    pad lanes cost full VPU work).  A pure |BX - 2048| proximity rule
+    mis-ranks widths where a wide strip caps BY: at 12800² it picked
+    Px=5 (BX=2560, capped BY=64) = 18.3 GLUPS where Px=10 (BX=1280,
+    BY=128) measures 19.0 (docs/PERF.md round-4 spot checks).  The
+    model keeps every hardware-validated 2048-multiple pick (8192² →
+    Px=4, 10240² → Px=5, 12288² → Px=6, 16384² → Px=8) and fixes the
+    non-multiples (12800² → Px=10).  Ties break toward the WIDER strip
+    (fewer strips → fewer ghost-slab roundtrips).
     """
     if nx < 8192 or ny < 16:
         return None
-    cands = sorted(
-        (
-            p
-            for p in range(2, nx // 1024 + 1)
-            if nx % p == 0 and (nx // p) % 128 == 0
-        ),
-        key=lambda p: (abs(nx // p - 2048), p),
-    )
+    cands = [
+        p
+        for p in range(2, nx // 1024 + 1)
+        if nx % p == 0 and (nx // p) % 128 == 0
+    ]
     if not cands:
         return None
-    px = cands[0]
-    bx = nx // px
     _, window_budget, k_pref = _temporal_tuning(nx)
-    w = bx + _XT_PAD
     for ksteps in k_pref:
         if max_iters % ksteps != 0 or 2 * ksteps > _XT_PAD:
             continue
-        by = _largest_block_rows(ny, w, window_budget)
-        while by is not None and by >= 8 and (by + 2 * ksteps) * w > window_budget:
-            by //= 2
-        if (
-            by is not None
-            and by >= 8
-            and ksteps <= by - 2
-            and ny % by == 0
-            and ny // by >= 2
-        ):
-            return by, ksteps, px
+        best = None  # (score, px, by); cands ascend so ties keep wider
+        for px in cands:
+            bx = nx // px
+            w = bx + _XT_PAD
+            by = _largest_block_rows(ny, w, window_budget)
+            while by is not None and by >= 8 and (by + 2 * ksteps) * w > window_budget:
+                by //= 2
+            if (
+                by is None
+                or by < 8
+                or ksteps > by - 2
+                or ny % by != 0
+                or ny // by < 2
+            ):
+                continue
+            score = by / (by + 2 * ksteps) * bx / (bx + _XT_PAD)
+            if best is None or score > best[0] + 1e-12:
+                best = (score, px, by)
+        if best is not None:
+            return best[2], ksteps, best[1]
     return None
 
 

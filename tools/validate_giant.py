@@ -45,9 +45,14 @@ def _setup(n: int, steps: int):
 
 
 def cmd_kernel(n: int, steps: int) -> int:
+    from lbm_tpu.ops.fused import choose_temporal_xtiled
     from lbm_tpu.tuning import time_temporal_candidate
 
-    k = 4
+    # Use the production chooser so this validates the same (BY, K, Px)
+    # a real run would pick — a hardcoded px = n // 2048 silently fails
+    # for non-2048-multiple widths (12800 -> px=6, which doesn't divide).
+    choice = choose_temporal_xtiled(n, n, steps)
+    by, k, px = choice if choice is not None else (128, 4, max(2, n // 2048))
     if steps % k:
         # time_temporal_candidate executes steps//k * k steps but divides
         # elapsed by `steps`; a non-multiple would inflate GLUPS right at
@@ -59,9 +64,8 @@ def cmd_kernel(n: int, steps: int) -> int:
         print(f"FAIL kernel {n}^2: --steps must be >= {k}")
         return 1
     params, obstacles = _setup(n, steps)
-    px = max(2, n // 2048)
     us = time_temporal_candidate(
-        params, obstacles, by=128, k=k, steps=steps, repeats=2, px=px
+        params, obstacles, by=by, k=k, steps=steps, repeats=2, px=px
     )
     if us is None:
         print(f"FAIL kernel {n}^2: no timing (see log above)")
@@ -69,7 +73,7 @@ def cmd_kernel(n: int, steps: int) -> int:
     glups = n * n / us / 1e3
     ok = glups > 15
     print(
-        f"{'PASS' if ok else 'FAIL'} kernel {n}^2 (128,{k},Px={px}): "
+        f"{'PASS' if ok else 'FAIL'} kernel {n}^2 ({by},{k},Px={px}): "
         f"{us:.1f} us/step = {glups:.1f} GLUPS"
         + ("" if ok else " (< 15 GLUPS threshold)")
     )
