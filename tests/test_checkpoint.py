@@ -87,11 +87,13 @@ def test_sharded_checkpoint_resume(tmp_path):
     assert ckpt.load(tmp_path).step == 30
 
 
+@pytest.mark.medium
 def test_sharded_temporal_2d_checkpoint_resume(tmp_path):
     """Checkpoint/resume composes with the 2-D temporal path (segment
     lengths must stay multiples of K; every=8 and the 14-step tail of 30
     would not, so 30 -> crash at 16 -> resume uses K=2-compatible
-    segments throughout)."""
+    segments throughout).  (Medium: test_sharded_checkpoint_resume keeps
+    the sharded checkpoint path fast-tier on the 1-D mesh.)"""
     import dataclasses
 
     import jax
@@ -264,7 +266,14 @@ def test_sharded_load_rejects_missing_shard(tmp_path):
         ckpt.load(tmp_path)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize(
+    "seed",
+    [
+        0,
+        pytest.param(1, marks=pytest.mark.medium),
+        pytest.param(2, marks=pytest.mark.medium),
+    ],
+)
 def test_random_crash_resume_cycles(tmp_path, seed):
     """Property: any sequence of 'crashes' at random segment boundaries
     resumes to the exact continuous trajectory."""
@@ -384,6 +393,7 @@ def _xtiled_carry_setup(monkeypatch):
     return params, obstacles, np.asarray(f), np.asarray(avs)
 
 
+@pytest.mark.medium
 def test_giant_grid_carry_checkpoint_matches_reference(tmp_path, monkeypatch):
     """The carry-resident segment driver (selected when state readback
     cannot fit HBM and the schedule provides checkpoint_io) must
@@ -422,6 +432,7 @@ def test_giant_grid_carry_checkpoint_resume_bitexact(tmp_path, monkeypatch):
     np.testing.assert_array_equal(cont.av_vels, res.av_vels)
 
 
+@pytest.mark.medium
 def test_giant_grid_carry_checkpoint_rejects_misaligned_resume(
     tmp_path, monkeypatch
 ):

@@ -142,6 +142,7 @@ def test_temporal_blocking():
     )
 
 
+@pytest.mark.medium
 def test_temporal_fp16_storage():
     """16-bit HBM residency for the temporal carry (fp32 in-kernel
     compute): the short-horizon trajectory must track the fp32 path
@@ -182,8 +183,11 @@ def test_temporal_fp16_storage():
     )
 
 
+@pytest.mark.medium
 def test_temporal_blocking_k4():
-    """Deeper time blocks (K=4 on BY=8) still match."""
+    """Deeper time blocks (K=4 on BY=8) still match.  (Medium:
+    test_temporal_blocking is the fast-tier representative; random
+    (BY, K) splits are swept in tests/test_randomized.py.)"""
     from lbm_tpu.ops.fused import build_temporal_program
 
     params = LBMParams(128, 16, 8, 10, 0.1, 0.005, 1.85)
@@ -246,9 +250,12 @@ def test_temporal_xtiled():
     )
 
 
+@pytest.mark.medium
 def test_temporal_xtiled_k4_random_geometry():
     """Deeper K with randomized obstacles spanning strip boundaries; the
-    consts path (maskext as runtime argument) is exercised too."""
+    consts path (maskext as runtime argument) is exercised too.
+    (Medium: test_temporal_xtiled and the x-tiled golden prefix cover
+    the schedule in the fast tier.)"""
     from lbm_tpu.ops.fused import build_temporal_xtiled_program
 
     rng = np.random.default_rng(7)
@@ -402,11 +409,15 @@ def test_choose_temporal_xtiled():
     assert choose_temporal_xtiled(8192, 8200, 20000) is None
 
 
+@pytest.mark.medium
 def test_megakernel():
     """Manual-DMA megakernel (T K-passes per pallas_call, interpret mode):
     must reproduce the jnp reference step across call boundaries, incl.
     the in-place HBM aliasing across passes and the parity-buffered ghost
-    state."""
+    state.  (Medium: the megakernel is a study variant;
+    test_megakernel_body_force_wrap + test_make_program_mega_routing are
+    the fast-tier representatives, and its golden prefix runs in the
+    medium tier.)"""
     from lbm_tpu.ops.fused import build_mega_program
 
     params = LBMParams(128, 32, 24, 10, 0.1, 0.005, 1.85)
@@ -674,10 +685,13 @@ def test_multi_step_program_routes_mask_as_const():
     np.testing.assert_array_equal(np.asarray(av_const), np.asarray(av_embed))
 
 
+@pytest.mark.medium
 def test_mega_program_routes_mask_as_const():
     """The megakernel program must route its extended mask through
     StepProgram.consts (runtime operand), and the const-fed carry must
-    agree with the embed-default path."""
+    agree with the embed-default path.  (Medium: the HLO-literal
+    invariant for every PRODUCTION path stays fast-tier in
+    test_no_factory_embeds_the_mask_as_an_hlo_literal.)"""
     from lbm_tpu.ops.fused import build_mega_program
 
     params = LBMParams(128, 32, 8, 10, 0.1, 0.005, 1.85)
@@ -707,6 +721,7 @@ def test_mega_program_routes_mask_as_const():
     np.testing.assert_array_equal(np.asarray(av_const), np.asarray(av_embed))
 
 
+@pytest.mark.medium
 def test_megakernel_two_blocks_ring2():
     """grid_p == 2 forces the 2-slot staging ring (the 3-slot ring's
     in-place disjointness proof needs P >= ring); must still match the

@@ -124,7 +124,16 @@ def test_fused_blocked_random(seed):
     _assert_tracks_fp64(params, obstacles, f32, av32)
 
 
-@pytest.mark.parametrize("seed", range(3))
+# Seed 1 is the fast-tier representative: seed 0 happens to draw the
+# most expensive (grid, K) combo (~27 s alone on this 1-CPU box).
+@pytest.mark.parametrize(
+    "seed",
+    [
+        pytest.param(0, marks=pytest.mark.medium),
+        1,
+        pytest.param(2, marks=pytest.mark.medium),
+    ],
+)
 def test_temporal_random_by_k(seed):
     from lbm_tpu.ops.fused import build_temporal_program
 
@@ -209,7 +218,14 @@ def test_sharded_random(seed):
     np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=1e-4)
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize(
+    "seed",
+    [
+        0,
+        pytest.param(1, marks=pytest.mark.medium),
+        pytest.param(2, marks=pytest.mark.medium),
+    ],
+)
 def test_sharded_temporal_2d_random(seed):
     """Random geometry/physics through the 2-D temporal path (random
     mesh shape, explicit lowering-valid split) vs single-device."""

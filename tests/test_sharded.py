@@ -67,7 +67,9 @@ def test_sharded_fused_matches_single_device(eight_devices, n_shards):
     np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n_shards", [2, 4])
+@pytest.mark.parametrize(
+    "n_shards", [2, pytest.param(4, marks=pytest.mark.medium)]
+)
 def test_sharded_temporal_matches_single_device(eight_devices, n_shards):
     """Temporal blocking composed with sharding: K-row slab exchange every
     K steps must reproduce the per-step path exactly."""
@@ -115,7 +117,15 @@ def test_sharded_2d_matches_single_device(eight_devices, py, px):
     np.testing.assert_allclose(sharded.av_vels, single.av_vels, rtol=1e-5)
 
 
-@pytest.mark.parametrize("py,px", [(2, 4), (4, 2), (1, 4), (2, 1)])
+@pytest.mark.parametrize(
+    "py,px",
+    [
+        (2, 4),
+        pytest.param(4, 2, marks=pytest.mark.medium),
+        pytest.param(1, 4, marks=pytest.mark.medium),
+        pytest.param(2, 1, marks=pytest.mark.medium),
+    ],
+)
 def test_sharded_fused_2d_matches_single_device(eight_devices, py, px):
     """The fused-Pallas 2-D path (x-padded tile + two-phase ghost exchange,
     interpret mode) must match the single-device reference step."""
@@ -246,6 +256,7 @@ def test_bench_sharded_smoke(eight_devices, capsys):
     assert np.isfinite(payload["av_last"])
 
 
+@pytest.mark.medium
 def test_bench_sharded_2d_mesh_smoke(eight_devices, capsys):
     """The harness's 2-D mesh mode (--mesh PYxPX with an explicit
     temporal split) — the BASELINE weak-scaling drive surface — runs on
@@ -322,7 +333,15 @@ def test_temporal_split_requires_temporal_capable_kernel(eight_devices):
         )  # auto -> reference on the CPU backend
 
 
-@pytest.mark.parametrize("py,px", [(2, 4), (4, 2), (2, 2), (1, 4)])
+@pytest.mark.parametrize(
+    "py,px",
+    [
+        pytest.param(2, 4, marks=pytest.mark.medium),
+        pytest.param(4, 2, marks=pytest.mark.medium),
+        (2, 2),
+        pytest.param(1, 4, marks=pytest.mark.medium),
+    ],
+)
 def test_sharded_temporal_2d_matches_single_device(eight_devices, py, px):
     """Temporal blocking on a 2-D mesh (K-row slabs over the y ring,
     K-lane column strips over the x ring, both every K steps) must
@@ -445,27 +464,27 @@ def test_sharded_temporal_xt_matches_single_device(eight_devices, n_shards):
 
 def test_sharded_temporal_xt_routes_and_validates(eight_devices):
     """Explicit (BY, K, PX) splits route end-to-end through
-    ShardedSimulator on 1-D meshes and on 2-D meshes with a degenerate x
-    axis; a 2-D mesh with real x sharding rejects the x-tiled split (the
-    strips are LOCAL x tiling); malformed split tuples are rejected."""
+    ShardedSimulator on 1-D meshes; a 2-D mesh with real x sharding
+    rejects the x-tiled split (the strips are LOCAL x tiling); malformed
+    split tuples are rejected.  The degenerate-x 2-D mesh variant is the
+    medium-tier test below."""
     from lbm_tpu.parallel.sharded import default_mesh_2d
 
     params = dataclasses.replace(PARAMS, ny=64, nx=64, max_iters=12)
     obstacles = channel_box(params.nx, params.ny, interior_col=33)
     single = Simulator(params, obstacles, kernel="reference").run()
-    for mesh in (default_mesh(2), default_mesh_2d(2, 1)):
-        sim = ShardedSimulator(
-            params,
-            obstacles,
-            mesh=mesh,
-            kernel="temporal",
-            interpret=True,
-            temporal_split=(8, 2, 2),
-        )
-        res = sim.run()
-        assert sim.variant() == "temporal" and sim.chunk(12) == 2
-        np.testing.assert_allclose(res.f, single.f, rtol=1e-5, atol=1e-9)
-        np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=5e-4)
+    sim = ShardedSimulator(
+        params,
+        obstacles,
+        mesh=default_mesh(2),
+        kernel="temporal",
+        interpret=True,
+        temporal_split=(8, 2, 2),
+    )
+    res = sim.run()
+    assert sim.variant() == "temporal" and sim.chunk(12) == 2
+    np.testing.assert_allclose(res.f, single.f, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=5e-4)
     with pytest.raises(ValueError, match="x shard"):
         ShardedSimulator(
             params,
@@ -485,10 +504,36 @@ def test_sharded_temporal_xt_routes_and_validates(eight_devices):
         )
 
 
+@pytest.mark.medium
+def test_sharded_temporal_xt_routes_degenerate_2d_mesh(eight_devices):
+    """The x-tiled split also routes on a 2-D mesh whose x axis is
+    degenerate (Px_mesh=1) — same physics as the 1-D fast-tier test."""
+    from lbm_tpu.parallel.sharded import default_mesh_2d
+
+    params = dataclasses.replace(PARAMS, ny=64, nx=64, max_iters=12)
+    obstacles = channel_box(params.nx, params.ny, interior_col=33)
+    single = Simulator(params, obstacles, kernel="reference").run()
+    sim = ShardedSimulator(
+        params,
+        obstacles,
+        mesh=default_mesh_2d(2, 1),
+        kernel="temporal",
+        interpret=True,
+        temporal_split=(8, 2, 2),
+    )
+    res = sim.run()
+    assert sim.variant() == "temporal" and sim.chunk(12) == 2
+    np.testing.assert_allclose(res.f, single.f, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=5e-4)
+
+
+@pytest.mark.medium
 def test_sharded_simulator_routes_2d_temporal(eight_devices):
     """ShardedSimulator(kernel='temporal') on a 2-D mesh uses the 2-D
     temporal path end-to-end (no silent fallback); an invalid explicit
-    split still raises."""
+    split still raises.  (Medium: tests/test_cli.py's
+    test_run_mesh_2d_temporal_split drives the same route through the
+    CLI in the fast tier.)"""
     from lbm_tpu.parallel.sharded import default_mesh_2d
 
     params = dataclasses.replace(PARAMS, ny=64, nx=64, max_iters=12)

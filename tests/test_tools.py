@@ -35,11 +35,13 @@ def interpret_pallas(monkeypatch):
     )
 
 
+@pytest.mark.medium
 def test_ablated_modes_match_the_production_carry(interpret_pallas):
     """The ablation tool's kernels must accept the production temporal
     carry (f, gs, gn, int8 maskext) and its 'collide' mode must
     reproduce the production kernel's f BITWISE (same physics, minus
-    only the av reduction)."""
+    only the av reduction).  (Medium: guards the measurement TOOL, not a
+    production path.)"""
     ab = _load("ablate_step")
     params = LBMParams(128, 64, 8, 10, 0.1, 0.005, 1.85)
     obs = channel_box(params.nx, params.ny, interior_row=31)

@@ -264,9 +264,12 @@ def test_maybe_autotune_slab_opt_in(cache_file, monkeypatch, capsys):
     assert calls == []
 
 
+@pytest.mark.medium
 def test_cached_pick_still_runs_correctly(cache_file):
     """A cache-driven (BY, K) must produce the same physics as the jnp
-    reference path (the cache steers performance, never results)."""
+    reference path (the cache steers performance, never results).
+    (Medium: the steering itself is asserted fast-tier by the cache
+    tests above; any-(BY, K) physics is swept in test_randomized.py.)"""
     import numpy as np
 
     from lbm_tpu.config import LBMParams
