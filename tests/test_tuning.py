@@ -305,3 +305,43 @@ def test_cached_pick_still_runs_correctly(cache_file):
     # the temporal window schedule and the plain jnp step.
     np.testing.assert_allclose(f_temporal, np.asarray(f), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(avs, ref_avs, rtol=1e-4)
+
+
+def test_shipped_tuning_cache_is_structurally_valid():
+    """The VENDORED cache (lbm_tpu/tuning_cache.json — the file shipped
+    with the package, not the env-overridden test cache) must hold only
+    entries the choosers could actually consume: a malformed shipped
+    entry is skipped silently at pick time (`lookup` tolerates it), so
+    a data error here would quietly fall back to the heuristic and the
+    measurement would be dead weight.  Constraints are the kernels'
+    literal structural rules, not the implementation's own predicates."""
+    import json
+    import pathlib
+    import re
+
+    shipped = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "lbm_tpu"
+        / "tuning_cache.json"
+    )
+    cache = json.loads(shipped.read_text())
+    assert cache, "shipped cache must not be empty"
+    for key, entries in cache.items():
+        m = re.fullmatch(r"(.+)\|(\d+)x(\d+)", key)
+        assert m, f"malformed cache key {key!r}"
+        ny, nx = int(m.group(2)), int(m.group(3))
+        assert entries, f"{key}: empty entry list"
+        times = []
+        for e in entries:
+            assert isinstance(e, list) and len(e) in (3, 4), (key, e)
+            by, k, us = int(e[0]), int(e[1]), float(e[2])
+            px = int(e[3]) if len(e) == 4 else 1
+            assert us > 0, (key, e)
+            times.append(us)
+            # Temporal-kernel structural rules (build_temporal_program /
+            # build_temporal_xtiled_program ValueErrors).
+            assert by % 8 == 0 and ny % by == 0 and ny // by >= 2, (key, e)
+            assert 2 <= k <= by - 2, (key, e)
+            if px > 1:
+                assert nx % px == 0 and (nx // px) % 128 == 0, (key, e)
+        assert times == sorted(times), f"{key}: entries not fastest-first"
