@@ -98,8 +98,15 @@ def _prune_stale(directory: pathlib.Path, keep: set[str]) -> None:
     ``*.tmp`` staging files from an earlier crashed save — shard tmps
     are step-stamped and multi-hundred-MB at giant grids, so without
     this they would accumulate unboundedly across crash/resume cycles.
-    A run owns its checkpoint directory (concurrent savers into one
-    directory are not supported), so no live writer's tmp can be here.
+
+    Writer discipline: a RUN owns its checkpoint directory (two
+    unrelated runs saving into one directory are not supported), but on
+    a multi-host mesh every process of that run writes shard files into
+    the shared directory (``save_sharded``).  There the prune is safe
+    ONLY because of barrier placement: process 0 calls it after the
+    pre-commit barrier (all ranks' renames done, no staging tmp can be
+    live) and before the post-commit barrier (no rank has started the
+    next segment's writes).  Do not move it relative to those barriers.
     """
     for p in directory.glob("lbm_checkpoint*"):
         if p.name not in keep and p.is_file():

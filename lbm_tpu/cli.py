@@ -200,8 +200,16 @@ def _run_sharded(args, params, obstacles) -> int:
                     "--temporal-split must be BYxK or BYxKxPX (e.g. "
                     f"128x4x4), got {args.temporal_split!r}"
                 )
-        else:
+        elif len(parts) == 2:
             split = _parse_pair(args.temporal_split, "--temporal-split")
+        else:
+            # 1 or 4+ components: name BOTH accepted forms (delegating to
+            # _parse_pair would claim the flag "must be AxB", hiding the
+            # three-component x-tiled syntax the user may be one typo off).
+            raise SystemExit(
+                "--temporal-split must be BYxK or BYxKxPX (e.g. 128x4 or "
+                f"128x4x4), got {args.temporal_split!r}"
+            )
         kernel = args.kernel
         if kernel in ("auto", "reference"):
             # An explicit split names the temporal kernel; 'auto' on CPU

@@ -79,9 +79,17 @@ from lbm_tpu.ops.reference import accel_weights, uniform_weights
 # ``LBM_AUTOTUNE_ON_MISS=1`` sweep the real hardware once — the tuning
 # cache is keyed per device kind, so a measured pick always beats these
 # heuristics (lbm_tpu/tuning.py).
-_VMEM_LIMIT_BYTES = (
-    int(os.environ.get("LBM_VMEM_LIMIT_MB", "100")) * 1024 * 1024
-)
+def _vmem_limit_mb_from_env() -> int:
+    raw = os.environ.get("LBM_VMEM_LIMIT_MB", "100")
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"LBM_VMEM_LIMIT_MB must be an integer MiB count, got {raw!r}"
+        ) from None
+
+
+_VMEM_LIMIT_BYTES = _vmem_limit_mb_from_env() * 1024 * 1024
 _VMEM_SCALE = _VMEM_LIMIT_BYTES / (100 * 1024 * 1024)
 
 # Budget for cells per (9-plane) row block (with the raised VMEM limit).

@@ -766,16 +766,29 @@ def make_sharded_temporal_2d_run(
                     px=picked[2],
                     interpret=interpret,
                 )
-        if not interpret:
-            # Opt-in (LBM_AUTOTUNE_ON_MISS=1): measure the local slab
-            # shape on first compile instead of trusting the heuristic.
-            from lbm_tpu import tuning
+            if picked is not None and picked[2] == 1:
+                # The route decision just ranked row vs x-tiled at the TRUE
+                # slab width; a row winner transfers to the padded tile
+                # (3% wider — same ranking) whenever its window still fits
+                # the W-width VMEM budget.  Re-sweeping at (nyl, W) would
+                # double the sweep minutes for measurements the route
+                # decision already paid for.
+                from lbm_tpu.ops.fused import _temporal_tuning
 
-            tuning.maybe_autotune_slab(nyl, w, kind)
-        picked = choose_temporal(nyl, w, max_iters, device_kind=kind)
-        if picked is None:
-            return None
-        by, ksteps = picked
+                _, window_budget, _ = _temporal_tuning(w)
+                if (picked[0] + 2 * picked[1]) * w <= window_budget:
+                    by, ksteps = picked[0], picked[1]
+        if by is None or ksteps is None:
+            if not interpret:
+                # Opt-in (LBM_AUTOTUNE_ON_MISS=1): measure the local slab
+                # shape on first compile instead of trusting the heuristic.
+                from lbm_tpu import tuning
+
+                tuning.maybe_autotune_slab(nyl, w, kind)
+            picked = choose_temporal(nyl, w, max_iters, device_kind=kind)
+            if picked is None:
+                return None
+            by, ksteps = picked
     if nyl % by != 0:
         raise ValueError(f"BY={by} does not divide local slab nyl={nyl}")
     if nyl // by < 2:

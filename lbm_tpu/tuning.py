@@ -227,7 +227,19 @@ def default_device_kind() -> str:
 # 100 MiB scoped-VMEM limit (docs/PERF.md sweeps: (64+32)x4096 = 393k and
 # (512+16)x1024 = 540k both overflow) — skip without burning a ~40 s
 # remote compile on them.
-_WINDOW_CELL_CAP = 360 * 1024
+_WINDOW_CELL_CAP_100MB = 360 * 1024
+
+
+def _window_cell_cap() -> int:
+    """The sweep's VMEM window cap, scaled linearly with
+    ``LBM_VMEM_LIMIT_MB`` exactly like the chooser budgets in
+    ``ops/fused.py`` — otherwise a larger-VMEM chip's sweep would refuse
+    to measure the very configurations the scaled heuristics pick, and a
+    recorded smaller-window entry would permanently outrank them via the
+    cache-first precedence in ``choose_schedule``."""
+    from lbm_tpu.ops.fused import _VMEM_SCALE
+
+    return int(_WINDOW_CELL_CAP_100MB * _VMEM_SCALE)
 
 
 def temporal_candidates(
@@ -246,7 +258,7 @@ def temporal_candidates(
         if ny % by == 0:
             for k in (2, 4, 8, 16):
                 if k <= by - 2 and steps % k == 0:
-                    if (by + 2 * k) * nx <= _WINDOW_CELL_CAP:
+                    if (by + 2 * k) * nx <= _window_cell_cap():
                         out.append((by, k))
                     elif skipped is not None:
                         skipped.append((by, k))
@@ -278,7 +290,7 @@ def xtiled_candidates(
             if ny % by == 0:
                 for k in (2, 4, 8, 16):
                     if _xtiled_structurally_valid(ny, nx, by, k, px, steps):
-                        if (by + 2 * k) * w <= _WINDOW_CELL_CAP:
+                        if (by + 2 * k) * w <= _window_cell_cap():
                             out.append((by, k, px))
                         elif skipped is not None:
                             skipped.append((by, k, px))
@@ -407,7 +419,7 @@ def autotune_sweep(
         # be conservative on larger-VMEM devices.
         log(
             f"skipping {len(pruned)} candidate(s) beyond the measured "
-            f"v5e VMEM window cap ({_WINDOW_CELL_CAP} cells): "
+            f"v5e VMEM window cap ({_window_cell_cap()} cells): "
             + ", ".join(
                 f"(BY={c[0]}, K={c[1]}" + (f", Px={c[2]})" if len(c) > 2 else ")")
                 for c in pruned

@@ -305,8 +305,12 @@ def test_mesh_flag_validation(small_case):
     # single-chip run would be the trap the loud-failure rule exists for.
     with pytest.raises(SystemExit, match="--temporal-split"):
         cli.main(base + ["--temporal-split", "128x8"])
-    with pytest.raises(SystemExit, match="--temporal-split must be AxB"):
+    # One component and four+ components both name the two accepted forms
+    # (not _parse_pair's two-component-only message).
+    with pytest.raises(SystemExit, match="BYxK or BYxKxPX"):
         cli.main(base + ["--shards", "2", "--temporal-split", "banana"])
+    with pytest.raises(SystemExit, match="BYxK or BYxKxPX"):
+        cli.main(base + ["--shards", "2", "--temporal-split", "128x4x4x2"])
     with pytest.raises(SystemExit, match="BYxK or BYxKxPX"):
         cli.main(base + ["--shards", "2", "--temporal-split", "8x2x0"])
     with pytest.raises(SystemExit, match="BYxK or BYxKxPX"):

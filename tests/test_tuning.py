@@ -191,7 +191,7 @@ def test_autotune_candidate_enumeration():
     assert all(by >= 8 and by % 8 == 0 and 1024 % by == 0 for by, _ in cands)
     assert all(2 <= k <= by - 2 and 960 % k == 0 for by, k in cands)
     assert all(
-        (by + 2 * k) * 1024 <= tuning._WINDOW_CELL_CAP for by, k in cands
+        (by + 2 * k) * 1024 <= tuning._window_cell_cap() for by, k in cands
     )
     assert all(by < 1024 for by, _ in cands)  # >= 2 blocks
     # steps not divisible by 16 must drop the K=16 candidates.
@@ -206,6 +206,26 @@ def test_autotune_candidate_enumeration():
     import autotune
 
     assert autotune.candidates is tuning.temporal_candidates
+
+
+def test_window_cap_scales_with_vmem_limit(monkeypatch):
+    """The sweep's VMEM window cap must scale with LBM_VMEM_LIMIT_MB like
+    the chooser budgets in ops/fused.py: otherwise a larger-VMEM chip's
+    sweep refuses to measure exactly the configurations the scaled
+    heuristics pick, and a recorded smaller-window entry then permanently
+    outranks the better heuristic via choose_schedule's cache-first
+    precedence."""
+    from lbm_tpu.ops import fused
+
+    base = tuning.temporal_candidates(1024, 4096, 960)
+    assert base  # e.g. (64, 2): (64+4)*4096 = 278k <= 360k
+    monkeypatch.setattr(fused, "_VMEM_SCALE", 2.0)
+    scaled = tuning.temporal_candidates(1024, 4096, 960)
+    assert set(base) < set(scaled)
+    # (128, 8): window (128+16)*4096 = 590k cells — beyond the 100 MiB
+    # cap (360k), within the doubled one.  This is the very pick the
+    # scaled choose_temporal heuristic makes at that width.
+    assert (128, 8) in scaled and (128, 8) not in base
 
 
 def test_cli_autotune_dry_run(cache_file, monkeypatch, capsys):

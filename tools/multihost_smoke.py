@@ -45,7 +45,6 @@ import tempfile
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-PORT = 9876  # coordinator port (localhost only)
 STEPS = 40
 EVERY = 20
 
@@ -76,7 +75,9 @@ def single(workdir: str) -> int:
     return 0
 
 
-def worker(rank: int, procs: int, local_devices: int, workdir: str) -> int:
+def worker(
+    rank: int, procs: int, local_devices: int, workdir: str, port: int
+) -> int:
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}"
     )
@@ -84,7 +85,7 @@ def worker(rank: int, procs: int, local_devices: int, workdir: str) -> int:
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{PORT}",
+        coordinator_address=f"127.0.0.1:{port}",
         num_processes=procs,
         process_id=rank,
     )
@@ -160,6 +161,15 @@ def coordinator(procs: int, local_devices: int) -> int:
         if ref.returncode:
             print("FAIL: single-process reference run failed", flush=True)
             return 1
+        # Ephemeral coordinator port: a fixed one collides when two
+        # invocations share the box (a slow-tier pytest plus a manual
+        # run) — the second rank 0 fails to bind or workers join the
+        # wrong coordinator and hang to the wait timeout.
+        import socket
+
+        with socket.socket() as sock:
+            sock.bind(("127.0.0.1", 0))
+            port = sock.getsockname()[1]
         workers = [
             subprocess.Popen(
                 [
@@ -173,12 +183,23 @@ def coordinator(procs: int, local_devices: int) -> int:
                     str(local_devices),
                     "--workdir",
                     workdir,
+                    "--port",
+                    str(port),
                 ],
                 env=env,
             )
             for rank in range(procs)
         ]
-        codes = [w.wait(timeout=900) for w in workers]
+        try:
+            codes = [w.wait(timeout=900) for w in workers]
+        finally:
+            # A timeout on one wait must not leak the rest: kill any
+            # still-running worker before the TemporaryDirectory (their
+            # cwd for checkpoints) is torn down.
+            for w in workers:
+                if w.poll() is None:
+                    w.kill()
+                    w.wait()
     if any(codes):
         print(f"FAIL: worker exit codes {codes}", flush=True)
         return 1
@@ -193,11 +214,14 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--rank", type=int, default=None)
     parser.add_argument("--single", action="store_true")
     parser.add_argument("--workdir", default=None)
+    parser.add_argument("--port", type=int, default=None)
     args = parser.parse_args(argv)
     if args.single:
         return single(args.workdir)
     if args.rank is not None:
-        return worker(args.rank, args.procs, args.local_devices, args.workdir)
+        return worker(
+            args.rank, args.procs, args.local_devices, args.workdir, args.port
+        )
     return coordinator(args.procs, args.local_devices)
 
 
