@@ -169,7 +169,7 @@ def test_xtiled_candidate_enumeration():
     assert (128, 4, 4) in cands
     for by, k, px in cands:
         assert _xtiled_structurally_valid(8192, 8192, by, k, px, 960)
-        assert (by + 2 * k) * (8192 // px + _XT_PAD) <= tuning._WINDOW_CELL_CAP
+        assert (by + 2 * k) * (8192 // px + _XT_PAD) <= tuning._window_cell_cap()
         assert 8192 // px >= 1024
         # Independent literal constraints (NOT the implementation's own
         # predicate/cap, which would make this circular): Pallas row
