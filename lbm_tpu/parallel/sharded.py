@@ -772,11 +772,27 @@ def make_sharded_temporal_2d_run(
                 # (3% wider — same ranking) whenever its window still fits
                 # the W-width VMEM budget.  Re-sweeping at (nyl, W) would
                 # double the sweep minutes for measurements the route
-                # decision already paid for.
-                from lbm_tpu.ops.fused import _temporal_tuning
+                # decision already paid for.  Exception: a MEASURED cache
+                # entry for the exact padded shape (nyl, W) — e.g. from an
+                # LBM_AUTOTUNE_ON_MISS run that swept the padded tile
+                # directly — outranks the transferred pick: fall through so
+                # choose_temporal consults it (round-4 advisor finding).
+                from lbm_tpu import tuning
+                from lbm_tpu.ops.fused import (
+                    _structurally_valid,
+                    _temporal_tuning,
+                )
 
                 _, window_budget, _ = _temporal_tuning(w)
-                if (picked[0] + 2 * picked[1]) * w <= window_budget:
+                padded_measured = any(
+                    e_px == 1
+                    and _structurally_valid(nyl, e_by, e_k, max_iters)
+                    for e_by, e_k, e_px in tuning.lookup(kind, nyl, w)
+                )
+                if (
+                    not padded_measured
+                    and (picked[0] + 2 * picked[1]) * w <= window_budget
+                ):
                     by, ksteps = picked[0], picked[1]
         if by is None or ksteps is None:
             if not interpret:

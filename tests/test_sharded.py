@@ -711,3 +711,142 @@ def test_no_factory_embeds_the_mask_as_an_hlo_literal(eight_devices):
         big = [ln for ln in text.splitlines()
                if "dense" in ln and len(ln) > 4096]
         assert not big, f"dense mask literal leaked: {big[0][:120]}"
+
+
+# -- chooser-transfer branch of the degenerate-x 2-D temporal factory -------
+# (make_sharded_temporal_2d_run with px == 1: the route decision ranks row
+# vs x-tiled at the TRUE slab width (nyl, nx); a row winner transfers to
+# the W = nx + 128 padded tile only when its window fits the W-width VMEM
+# budget AND no measured cache entry exists for the exact padded shape.)
+
+
+@pytest.fixture
+def routing_cache(tmp_path, monkeypatch):
+    """Empty tuning cache in a tmp file so routing tests fully control
+    which measured entries exist (the shipped cache has only TPU kinds,
+    but keep the tests hermetic against future CPU entries)."""
+    path = tmp_path / "cache.json"
+    monkeypatch.setenv("LBM_TUNING_CACHE", str(path))
+    return path
+
+
+@pytest.fixture
+def kernel_recorder(monkeypatch):
+    """Wrap fused.build_temporal_kernel to record (nyl, w, by, ksteps).
+
+    The factory imports it at call time (function-scope import), so
+    patching the module attribute intercepts the factory's build."""
+    import lbm_tpu.ops.fused as fused
+
+    calls = []
+    real = fused.build_temporal_kernel
+
+    def recording(nyl, w, by, ksteps, *args, **kwargs):
+        calls.append((nyl, w, by, ksteps))
+        return real(nyl, w, by, ksteps, *args, **kwargs)
+
+    monkeypatch.setattr(fused, "build_temporal_kernel", recording)
+    return calls
+
+
+def test_2d_px1_row_winner_transfers_to_padded_tile(
+    eight_devices, routing_cache, kernel_recorder
+):
+    """A measured Px=1 route winner at the true slab width (nyl, nx)
+    whose window fits the padded-width budget is adopted verbatim for
+    the W = nx + 128 tile (sharded.py chooser-transfer branch)."""
+    from lbm_tpu import tuning
+    from lbm_tpu.ops.reference import init_cells
+    from lbm_tpu.parallel.sharded import (
+        default_mesh_2d,
+        make_sharded_temporal_2d_run,
+    )
+
+    params = dataclasses.replace(PARAMS, ny=64, nx=128, max_iters=8)
+    obstacles = channel_box(params.nx, params.ny)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    mesh = default_mesh_2d(2, 1)
+    kind = mesh.devices.flat[0].device_kind
+    nyl, w = 32, params.nx + 128
+    # Without a cache entry neither chooser admits this tiny slab
+    # (by_max == nyl kills choose_temporal), so adoption of (16, 2) is
+    # unambiguously the transfer branch.
+    assert make_sharded_temporal_2d_run(
+        params, obstacles, fcinv, mesh, interpret=True
+    ) is None and kernel_recorder == []
+    tuning.record(kind, nyl, params.nx, [(16, 2, 1.0)])
+    run = make_sharded_temporal_2d_run(
+        params, obstacles, fcinv, mesh, interpret=True
+    )
+    assert run is not None and run.chunk == 2
+    assert kernel_recorder == [(nyl, w, 16, 2)]
+    # The adopted schedule must still reproduce the physics.
+    single = Simulator(params, obstacles, kernel="reference").run()
+    f_fin, avs = run(init_cells(params))
+    np.testing.assert_allclose(
+        np.asarray(f_fin), single.f, rtol=1e-5, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(avs), single.av_vels, rtol=1e-4)
+
+
+def test_2d_px1_overflowing_winner_falls_through_to_padded_chooser(
+    eight_devices, routing_cache, kernel_recorder
+):
+    """A route winner whose window does NOT fit the padded-width VMEM
+    budget is rejected; the factory re-chooses via choose_temporal on the
+    padded shape (nyl, W) instead of silently keeping the oversized pick."""
+    from lbm_tpu import tuning
+    from lbm_tpu.ops.fused import _temporal_tuning, choose_temporal
+    from lbm_tpu.parallel.sharded import (
+        default_mesh_2d,
+        make_sharded_temporal_2d_run,
+    )
+
+    params = dataclasses.replace(PARAMS, ny=4096, nx=128, max_iters=16)
+    obstacles = channel_box(params.nx, params.ny)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    mesh = default_mesh_2d(2, 1)
+    kind = mesh.devices.flat[0].device_kind
+    nyl, w = 2048, params.nx + 128
+    # (1024, 2) is structurally valid at (2048, 128) but its padded-tile
+    # window overflows the W-width budget.
+    _, window_budget, _ = _temporal_tuning(w)
+    assert (1024 + 2 * 2) * w > window_budget
+    tuning.record(kind, nyl, params.nx, [(1024, 2, 1.0)])
+    expected = choose_temporal(
+        nyl, w, params.max_iters, device_kind=kind
+    )
+    assert expected is not None and expected != (1024, 2)
+    run = make_sharded_temporal_2d_run(
+        params, obstacles, fcinv, mesh, interpret=True
+    )
+    assert run is not None and run.chunk == expected[1]
+    assert kernel_recorder == [(nyl, w) + expected]
+
+
+def test_2d_px1_measured_padded_entry_outranks_transfer(
+    eight_devices, routing_cache, kernel_recorder
+):
+    """A measured cache entry for the EXACT padded shape (nyl, W) — e.g.
+    from an autotune sweep of the padded tile — outranks the transferred
+    route pick (round-4 advisor finding: the transfer must not shadow a
+    real measurement of the shape actually built)."""
+    from lbm_tpu import tuning
+    from lbm_tpu.parallel.sharded import (
+        default_mesh_2d,
+        make_sharded_temporal_2d_run,
+    )
+
+    params = dataclasses.replace(PARAMS, ny=64, nx=128, max_iters=8)
+    obstacles = channel_box(params.nx, params.ny)
+    fcinv = np.float32(1.0 / free_cells_of(obstacles))
+    mesh = default_mesh_2d(2, 1)
+    kind = mesh.devices.flat[0].device_kind
+    nyl, w = 32, params.nx + 128
+    tuning.record(kind, nyl, params.nx, [(16, 2, 1.0)])  # route winner
+    tuning.record(kind, nyl, w, [(8, 4, 0.5)])  # padded-shape measurement
+    run = make_sharded_temporal_2d_run(
+        params, obstacles, fcinv, mesh, interpret=True
+    )
+    assert run is not None and run.chunk == 4
+    assert kernel_recorder == [(nyl, w, 8, 4)]
