@@ -237,9 +237,9 @@ def _window_cell_cap() -> int:
     to measure the very configurations the scaled heuristics pick, and a
     recorded smaller-window entry would permanently outrank them via the
     cache-first precedence in ``choose_schedule``."""
-    from lbm_tpu.ops.fused import _VMEM_SCALE
+    from lbm_tpu.ops.fused import _vmem_scale
 
-    return int(_WINDOW_CELL_CAP_100MB * _VMEM_SCALE)
+    return int(_WINDOW_CELL_CAP_100MB * _vmem_scale())
 
 
 def temporal_candidates(

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from lbm_tpu.config import CANONICAL_PARAMS
 from lbm_tpu.geometry import canonical_obstacles, free_cells_of
 from lbm_tpu.ops.fused import (
-    _VMEM_LIMIT_BYTES,
+    _vmem_limit_bytes,
     _window_advance,
     build_temporal_program,
 )
@@ -129,7 +129,7 @@ def build_ablated(mode, ny, nx, by, ksteps, omega, aw1, aw2):
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+            vmem_limit_bytes=_vmem_limit_bytes()
         ),
         input_output_aliases={0: 0},
     )
