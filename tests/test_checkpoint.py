@@ -552,22 +552,45 @@ def test_committed_save_prunes_orphaned_tmp_files(tmp_path):
 
 
 @pytest.mark.slow
-def test_multihost_smoke():
+@pytest.mark.parametrize(
+    "extra, banner",
+    [
+        # 1-D mesh over 2x2 devices; the worker resumes on a 2-D (2,2)
+        # mesh, so the 1-D run also proves cross-mesh shard re-sharding.
+        ([], "PASS: 2 processes x 2 devices (1-D mesh)"),
+        # Pod-shaped: 2 processes x 4 local devices (VERDICT r4 #6).
+        (
+            ["--procs", "2", "--local-devices", "4"],
+            "PASS: 2 processes x 4 devices (1-D mesh)",
+        ),
+        # 2-D (Py x Px) mesh SPANNING both processes: exercises the
+        # _shard_filename (y0, x0) offset math under multi-process 2-D
+        # sharding; the worker resumes it on a 1-D mesh (cross-format).
+        (
+            ["--mesh", "2x2"],
+            "PASS: 2 processes x 2 devices (mesh 2x2)",
+        ),
+    ],
+    ids=["1d-2x2", "1d-2x4", "2d-2x2"],
+)
+def test_multihost_smoke(extra, banner):
     """REAL 2-process mesh (jax.distributed over localhost, CPU devices):
     the sharded SPMD program runs across processes, v2 checkpointing
-    writes per-process shard files with a cross-process meta commit, and
-    a resume is bit-continuous (tools/multihost_smoke.py; validates the
-    multi-host wording in lbm_tpu/checkpoint.py — SURVEY §5.8)."""
+    writes per-process shard files with a cross-process meta commit
+    whose (y0, x0) offsets sit on the mesh's slab lattice, and a resume
+    is bit-continuous — including onto a DIFFERENT mesh shape
+    (tools/multihost_smoke.py; validates the multi-host wording in
+    lbm_tpu/checkpoint.py — SURVEY §5.8)."""
     import pathlib
     import subprocess
     import sys
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     proc = subprocess.run(
-        [sys.executable, str(repo / "tools" / "multihost_smoke.py")],
+        [sys.executable, str(repo / "tools" / "multihost_smoke.py"), *extra],
         capture_output=True,
         text=True,
         timeout=900,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "PASS: 2 processes" in proc.stdout
+    assert banner in proc.stdout

@@ -76,7 +76,12 @@ def single(workdir: str) -> int:
 
 
 def worker(
-    rank: int, procs: int, local_devices: int, workdir: str, port: int
+    rank: int,
+    procs: int,
+    local_devices: int,
+    workdir: str,
+    port: int,
+    mesh_shape: tuple[int, int] | None,
 ) -> int:
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={local_devices}"
@@ -99,10 +104,20 @@ def worker(
     import numpy as np
 
     from lbm_tpu import checkpoint as ckpt
-    from lbm_tpu.parallel.sharded import ShardedSimulator, default_mesh
+    from lbm_tpu.parallel.sharded import (
+        ShardedSimulator,
+        default_mesh,
+        default_mesh_2d,
+    )
 
     params, obstacles = _case()
-    mesh = default_mesh(n_global)  # spans BOTH processes
+    if mesh_shape is None:
+        py, px = n_global, 1
+        mesh = default_mesh(n_global)  # spans ALL processes
+    else:
+        py, px = mesh_shape
+        assert py * px == n_global, (mesh_shape, n_global)
+        mesh = default_mesh_2d(py, px)  # 2-D, spans ALL processes
 
     workdir = pathlib.Path(workdir)
     ckdir = workdir / "ck"
@@ -114,9 +129,25 @@ def worker(
     snap = ckpt.load(ckdir)
     assert snap is not None and snap.step == params.max_iters
     # The committed meta must cover every process's shards (n_global
-    # slabs) even though THIS process only wrote its local ones.
+    # slabs) even though THIS process only wrote its local ones — and
+    # each entry's (y0, x0) offset must sit exactly on the mesh's slab
+    # lattice (the _shard_filename offset math under multi-process 2-D
+    # sharding: py rows x px columns of (nyl, nxl) slabs).
     meta_json = json.loads((ckdir / ckpt.META_FILENAME).read_text())
     assert len(meta_json["shards"]) == n_global, meta_json["shards"]
+    nyl, nxl = params.ny // py, params.nx // px
+    expected_offsets = {
+        (i * nyl, j * nxl) for i in range(py) for j in range(px)
+    }
+    got_offsets = {(e["y0"], e["x0"]) for e in meta_json["shards"]}
+    assert got_offsets == expected_offsets, (got_offsets, expected_offsets)
+    for e in meta_json["shards"]:
+        assert e["file"] == (
+            f"lbm_checkpoint.step{STEPS}.shard.y{e['y0']}.x{e['x0']}.npz"
+        )
+        assert e["shape"] == [9, nyl, nxl], e
+        with np.load(ckdir / e["file"]) as shard:
+            assert shard["f_local"].shape == (9, nyl, nxl)
 
     # --- claim 1: matches the single-process reference trajectory ------
     with np.load(workdir / "ref.npz") as ref:
@@ -129,11 +160,20 @@ def worker(
         # --- resume bit-continuity --------------------------------------
         # Fresh dir: stop at the mid-run snapshot, resume to completion —
         # the spliced trajectory must equal the uninterrupted one bitwise.
+        # The resume runs on a DIFFERENT mesh shape (1-D <-> 2-D swap):
+        # shard files are mesh-agnostic f-slabs, so a multi-process resume
+        # must re-shard them onto whatever mesh the resuming job brings.
         ckdir2 = workdir / "ck2"
         half = ShardedSimulator(params, obstacles, mesh=mesh)
         half.run_checkpointed(str(ckdir2), every=EVERY, max_iters=EVERY)
         assert ckpt.load(ckdir2).step == EVERY
-        resumed = ShardedSimulator(params, obstacles, mesh=mesh)
+        if px > 1:
+            resume_mesh = default_mesh(n_global)
+        elif params.ny % (n_global // 2) == 0:
+            resume_mesh = default_mesh_2d(n_global // 2, 2)
+        else:
+            resume_mesh = mesh
+        resumed = ShardedSimulator(params, obstacles, mesh=resume_mesh)
         res2 = resumed.run_checkpointed(str(ckdir2), every=EVERY)
         assert res2.steps_timed == STEPS - EVERY  # only the second half ran
         np.testing.assert_array_equal(ckpt.load(ckdir2).f, ref["f"])
@@ -144,7 +184,9 @@ def worker(
     return 0
 
 
-def coordinator(procs: int, local_devices: int) -> int:
+def coordinator(
+    procs: int, local_devices: int, mesh: str | None
+) -> int:
     with tempfile.TemporaryDirectory(prefix="lbm_mh_") as workdir:
         env = dict(os.environ)
         # CPU-only subprocesses: skip the TPU plugin registration entirely
@@ -164,12 +206,19 @@ def coordinator(procs: int, local_devices: int) -> int:
         # Ephemeral coordinator port: a fixed one collides when two
         # invocations share the box (a slow-tier pytest plus a manual
         # run) — the second rank 0 fails to bind or workers join the
-        # wrong coordinator and hang to the wait timeout.
+        # wrong coordinator and hang to the wait timeout.  SO_REUSEADDR
+        # + holding the probe socket until just before the spawn shrinks
+        # (but cannot close — standard ephemeral-port pattern) the TOCTOU
+        # window in which another process could grab the port between
+        # our close and rank 0's coordinator bind.
         import socket
 
-        with socket.socket() as sock:
-            sock.bind(("127.0.0.1", 0))
-            port = sock.getsockname()[1]
+        sock = socket.socket()
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        sock.bind(("127.0.0.1", 0))
+        port = sock.getsockname()[1]
+        mesh_args = ["--mesh", mesh] if mesh else []
+        sock.close()
         workers = [
             subprocess.Popen(
                 [
@@ -185,6 +234,7 @@ def coordinator(procs: int, local_devices: int) -> int:
                     workdir,
                     "--port",
                     str(port),
+                    *mesh_args,
                 ],
                 env=env,
             )
@@ -203,14 +253,35 @@ def coordinator(procs: int, local_devices: int) -> int:
     if any(codes):
         print(f"FAIL: worker exit codes {codes}", flush=True)
         return 1
-    print(f"PASS: {procs} processes x {local_devices} devices", flush=True)
+    topo = f"mesh {mesh}" if mesh else "1-D mesh"
+    print(
+        f"PASS: {procs} processes x {local_devices} devices ({topo})",
+        flush=True,
+    )
     return 0
+
+
+def _parse_mesh(mesh: str | None) -> tuple[int, int] | None:
+    if mesh is None:
+        return None
+    try:
+        py, px = (int(p) for p in mesh.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"--mesh must be PYxPX (e.g. 2x4), got {mesh!r}")
+    return py, px
 
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--procs", type=int, default=2)
     parser.add_argument("--local-devices", type=int, default=2)
+    parser.add_argument(
+        "--mesh",
+        default=None,
+        help="2-D device mesh PYxPX spanning all processes "
+        "(default: 1-D over all devices); py*px must equal "
+        "procs*local_devices",
+    )
     parser.add_argument("--rank", type=int, default=None)
     parser.add_argument("--single", action="store_true")
     parser.add_argument("--workdir", default=None)
@@ -219,10 +290,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.single:
         return single(args.workdir)
     if args.rank is not None:
+        if args.port is None:
+            parser.error(
+                "--port is required with --rank (workers must join the "
+                "coordinator's ephemeral port; without it the address "
+                "would be the nonsensical '127.0.0.1:None')"
+            )
         return worker(
-            args.rank, args.procs, args.local_devices, args.workdir, args.port
+            args.rank,
+            args.procs,
+            args.local_devices,
+            args.workdir,
+            args.port,
+            _parse_mesh(args.mesh),
         )
-    return coordinator(args.procs, args.local_devices)
+    return coordinator(args.procs, args.local_devices, args.mesh)
 
 
 if __name__ == "__main__":
