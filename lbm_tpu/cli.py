@@ -284,7 +284,7 @@ def cmd_autotune(args: argparse.Namespace) -> int:
 
     from lbm_tpu.config import CANONICAL_PARAMS, LBMParams
     from lbm_tpu.geometry import canonical_obstacles, channel_box
-    from lbm_tpu.tuning import autotune_sweep
+    from lbm_tpu.tuning import autotune_sweep, refresh_incumbents
 
     if bool(args.case) == bool(args.grid):
         raise SystemExit("give exactly one of --case / --grid")
@@ -301,13 +301,29 @@ def cmd_autotune(args: argparse.Namespace) -> int:
         obstacles = channel_box(nx, ny)
     params = dataclasses.replace(params, max_iters=args.steps)
 
-    results = autotune_sweep(
-        params,
-        obstacles,
-        steps=args.steps,
-        repeats=args.repeats,
-        record_results=not args.dry_run,
-    )
+    if args.refresh:
+        # Stale-cache guard (tuning.py docstring): re-time ONLY the
+        # recorded incumbents and warn on ranking/timing drift; fall back
+        # to the full sweep when the cache has nothing for this shape.
+        results = refresh_incumbents(
+            params,
+            obstacles,
+            steps=args.steps,
+            repeats=args.repeats,
+            record_results=not args.dry_run,
+        )
+        if not results:
+            print("falling back to a full sweep", flush=True)
+    else:
+        results = []
+    if not results:
+        results = autotune_sweep(
+            params,
+            obstacles,
+            steps=args.steps,
+            repeats=args.repeats,
+            record_results=not args.dry_run,
+        )
     if not results:
         print("no candidate compiled and ran")
         return 1
@@ -356,6 +372,14 @@ def _add_autotune_args(parser: argparse.ArgumentParser) -> None:
         "--dry-run",
         action="store_true",
         help="measure and print but do not write the cache",
+    )
+    parser.add_argument(
+        "--refresh",
+        action="store_true",
+        help="re-time only the recorded incumbents (minutes cheaper than "
+        "a full sweep) and warn if the ranking or winner timing drifted — "
+        "the stale-cache check after a kernel change; falls back to a "
+        "full sweep when the cache has no entry for this shape",
     )
 
 

@@ -23,6 +23,19 @@ etc.), then the heuristics.  The cache file is resolved from ``LBM_TUNING_CACHE`
 defaults to ``lbm_tpu/tuning_cache.json`` (shipped with measured v5e
 entries); a missing/corrupt file silently disables the cache — tuning is
 an accelerator, never a correctness dependency.
+
+Staleness: cached entries outrank the heuristics by design, so a kernel
+change can silently inherit timings measured on the OLD kernel (the
+reference never had this problem — it re-derived its tuning every build
+by baking ``-D`` constants per grid, ``d2q9-bgk.c:639-663``).  Two
+guards: (1) every :func:`record` stamps per-key provenance (UTC date,
+repo commit when available, sweep steps/repeats) under the top-level
+``"__meta__"`` key, so a reviewer can see exactly when and at what
+commit an entry was measured; (2) ``lbm autotune --refresh``
+(:func:`refresh_incumbents`) re-times ONLY the recorded candidates —
+minutes cheaper than a full sweep — re-records them with fresh timings
+and provenance, and warns when the ranking changed or the winner
+drifted, the signal to re-run the full sweep.
 """
 
 from __future__ import annotations
@@ -87,20 +100,69 @@ def lookup(
     return out
 
 
+def _provenance(steps: int | None, repeats: int | None) -> dict:
+    """Per-key measurement provenance: when, at what repo commit (None
+    when the package is not inside a git checkout), and how the timing
+    was taken.  Stamped by :func:`record` so a stale entry is at least
+    VISIBLY stale (module docstring: the staleness story)."""
+    import datetime
+    import subprocess
+
+    commit = None
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(pathlib.Path(__file__).parent),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+        )
+        if out.returncode == 0:
+            commit = out.stdout.strip() or None
+    except (OSError, subprocess.SubprocessError):
+        pass
+    meta = {
+        "recorded": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "commit": commit,
+    }
+    if steps is not None:
+        meta["steps"] = int(steps)
+    if repeats is not None:
+        meta["repeats"] = int(repeats)
+    return meta
+
+
+META_KEY = "__meta__"
+
+
+def provenance_of(device_kind: str, ny: int, nx: int) -> dict:
+    """The provenance stamp recorded with this device/grid's entries
+    ({} for pre-provenance legacy entries or no entry)."""
+    meta = load_cache().get(META_KEY, {})
+    if not isinstance(meta, dict):
+        return {}
+    entry = meta.get(_key(device_kind, ny, nx), {})
+    return entry if isinstance(entry, dict) else {}
+
+
 def record(
     device_kind: str,
     ny: int,
     nx: int,
     results: list[tuple],
+    steps: int | None = None,
+    repeats: int | None = None,
 ) -> pathlib.Path:
     """Store measured ``(by, k, us_per_step[, px])`` results (sorted
     fastest first; ``px`` defaults to 1 = plain row blocking and is
     stored only when > 1, keeping the legacy 3-element entry form) for
-    this device/grid, merging with existing entries for other keys.
-    Atomic write."""
+    this device/grid, merging with existing entries for other keys, and
+    stamp the key's provenance under ``"__meta__"`` (date / commit /
+    sweep ``steps`` / ``repeats``).  Atomic write."""
     path = cache_path()
     cache = dict(load_cache())
-    cache[_key(device_kind, ny, nx)] = [
+    key = _key(device_kind, ny, nx)
+    cache[key] = [
         (
             [int(r[0]), int(r[1]), round(float(r[2]), 3)]
             if len(r) < 4 or int(r[3]) <= 1
@@ -108,6 +170,11 @@ def record(
         )
         for r in sorted(results, key=lambda r: r[2])
     ]
+    # Copy before mutating: load_cache() returns the lru-cached dict.
+    meta = cache.get(META_KEY, {})
+    meta = dict(meta) if isinstance(meta, dict) else {}
+    meta[key] = _provenance(steps, repeats)
+    cache[META_KEY] = meta
     path.parent.mkdir(parents=True, exist_ok=True)
     # Unique temp name: two concurrent sweeps (different grids, one host)
     # must not collide on a shared .tmp sibling; last-rename-wins is then
@@ -441,6 +508,101 @@ def autotune_sweep(
             results.append((by, k, us, px))
     results.sort(key=lambda r: r[2])
     if results and record_results:
-        path = record(kind, ny, nx, results)
+        path = record(kind, ny, nx, results, steps=steps, repeats=repeats)
         log(f"recorded {len(results)} entries -> {path}")
+    return results
+
+
+def refresh_incumbents(
+    params,
+    obstacles,
+    steps: int = 960,
+    repeats: int = 3,
+    record_results: bool = True,
+    log=_print_flush,
+    drift_warn_pct: float = 25.0,
+) -> list[tuple[int, int, float, int]]:
+    """Re-time ONLY the candidates already recorded for this device/grid
+    (the ``lbm autotune --refresh`` path — minutes cheaper than a full
+    sweep since the incumbents are few and their compiles disk-cached),
+    re-record them with fresh timings and provenance, and WARN when the
+    incumbent ranking changed or the winner's timing drifted more than
+    ``drift_warn_pct`` — the stale-cache signal that a kernel change
+    invalidated the old measurements and a full sweep is due (module
+    docstring: the staleness story).  Returns the re-measured results
+    fastest-first, or [] when the cache has no entry for this shape
+    (callers fall back to the full sweep)."""
+    ny, nx = params.ny, params.nx
+    kind = default_device_kind()
+    incumbents = lookup(kind, ny, nx)
+    if not incumbents:
+        log(f"no recorded entries for {kind}|{ny}x{nx} — nothing to refresh")
+        return []
+    stamp = provenance_of(kind, ny, nx)
+    log(
+        f"refreshing {len(incumbents)} recorded candidate(s) for "
+        f"{kind}|{ny}x{nx}"
+        + (
+            f" (recorded {stamp.get('recorded')}"
+            + (f" at {stamp['commit']}" if stamp.get("commit") else "")
+            + ")"
+            if stamp
+            else " (no provenance — pre-stamp entry)"
+        )
+    )
+    old_best = {
+        (e[0], e[1], e[2] if len(e) > 2 else 1): None for e in incumbents
+    }
+    # Recover the recorded µs for drift reporting (lookup drops them).
+    for e in load_cache().get(_key(kind, ny, nx), []):
+        try:
+            px = int(e[3]) if len(e) >= 4 else 1
+            old_best[(int(e[0]), int(e[1]), px)] = float(e[2])
+        except (TypeError, ValueError, IndexError):
+            continue
+    results = []
+    for by, k, px in incumbents:
+        us = time_temporal_candidate(
+            params, obstacles, by, k, steps, repeats, log=log, px=px
+        )
+        tag = f", Px={px}" if px > 1 else ""
+        was = old_best.get((by, k, px))
+        drift = (
+            f" (was {was:.2f}, {(us - was) / was * 100.0:+.1f}%)"
+            if us is not None and was
+            else ""
+        )
+        status = f"{us:8.2f} us/step{drift}" if us is not None else "   failed"
+        log(f"  (BY={by:4d}, K={k:2d}{tag}): {status}")
+        if us is not None:
+            results.append((by, k, us, px))
+    results.sort(key=lambda r: r[2])
+    if not results:
+        log(
+            "every incumbent failed to compile/run — the cache is stale "
+            "for the current kernels; run a full sweep (lbm autotune "
+            "without --refresh)"
+        )
+        return []
+    nb, nk, nus, npx = results[0]
+    old_winner = (incumbents[0][0], incumbents[0][1], incumbents[0][2])
+    if (nb, nk, npx) != old_winner:
+        log(
+            f"WARNING: winner changed (BY={old_winner[0]}, K={old_winner[1]}"
+            f", Px={old_winner[2]}) -> (BY={nb}, K={nk}, Px={npx}) — the "
+            "recorded ranking was stale; consider a full sweep to re-check "
+            "candidates outside the incumbent set"
+        )
+    else:
+        was = old_best.get(old_winner)
+        if was and abs(nus - was) / was * 100.0 > drift_warn_pct:
+            log(
+                f"WARNING: winner timing drifted "
+                f"{(nus - was) / was * 100.0:+.1f}% vs the recorded "
+                f"{was:.2f} us/step — kernels or "
+                "platform changed since the sweep; consider a full sweep"
+            )
+    if record_results:
+        path = record(kind, ny, nx, results, steps=steps, repeats=repeats)
+        log(f"re-recorded {len(results)} entries -> {path}")
     return results

@@ -307,6 +307,95 @@ def test_maybe_autotune_slab_opt_in(cache_file, monkeypatch, capsys):
     assert calls == []
 
 
+def test_record_stamps_provenance(cache_file):
+    """Every record() stamps per-key provenance (date / commit / sweep
+    params) under "__meta__" so a stale entry is at least VISIBLY stale
+    (round-4 VERDICT item 7); the stamp never leaks into lookup()."""
+    tuning.record("FakeTPU v9", 64, 128, [(16, 4, 51.0)], steps=960, repeats=3)
+    stamp = tuning.provenance_of("FakeTPU v9", 64, 128)
+    assert stamp.get("recorded") and "T" in stamp["recorded"]  # ISO datetime
+    assert stamp.get("steps") == 960 and stamp.get("repeats") == 3
+    assert "commit" in stamp  # present (may be None outside a checkout)
+    # A second key's record preserves the first key's stamp...
+    tuning.record("FakeTPU v9", 64, 256, [(8, 2, 10.0)])
+    assert tuning.provenance_of("FakeTPU v9", 64, 128) == stamp
+    # ...steps/repeats are omitted when unknown...
+    s2 = tuning.provenance_of("FakeTPU v9", 64, 256)
+    assert "recorded" in s2 and "steps" not in s2
+    # ...and the sidecar never pollutes entry lookup.
+    assert tuning.lookup("FakeTPU v9", 64, 128) == [(16, 4, 1)]
+    assert tuning.provenance_of("FakeTPU v9", 99, 99) == {}
+
+
+def test_refresh_incumbents_retimes_and_warns_on_drift(cache_file, monkeypatch):
+    """`lbm autotune --refresh` core: re-times ONLY the recorded
+    candidates, re-records them with fresh timings + provenance, and
+    warns when the winner changed (the stale-cache signal)."""
+    from lbm_tpu.config import LBMParams
+    from lbm_tpu.geometry import channel_box
+
+    params = LBMParams(128, 64, 960, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(params.nx, params.ny)
+    kind = tuning.default_device_kind()
+    tuning.record(kind, 64, 128, [(32, 8, 40.0), (16, 4, 50.0)])
+
+    timed = []
+
+    def fake_time(params, obstacles, by, k, steps, repeats, log=print, px=1):
+        timed.append((by, k, px))
+        return {(32, 8): 60.0, (16, 4): 45.0}[(by, k)]  # ranking flips
+
+    monkeypatch.setattr(tuning, "time_temporal_candidate", fake_time)
+    lines = []
+    results = tuning.refresh_incumbents(
+        params, obstacles, steps=960, repeats=2, log=lines.append
+    )
+    # Only the two incumbents were timed — no full candidate enumeration.
+    assert sorted(timed) == [(16, 4, 1), (32, 8, 1)]
+    assert results[0][:2] == (16, 4)  # new winner, fastest first
+    assert any("WARNING: winner changed" in ln for ln in lines)
+    # Re-recorded: cache now ranks the fresh measurement first, with a
+    # fresh provenance stamp carrying the refresh's sweep params.
+    assert tuning.lookup(kind, 64, 128)[0] == (16, 4, 1)
+    assert tuning.provenance_of(kind, 64, 128).get("repeats") == 2
+    # No entry for a shape -> [] (callers fall back to the full sweep).
+    p2 = LBMParams(512, 256, 960, 10, 0.1, 0.005, 1.85)
+    assert tuning.refresh_incumbents(
+        p2, channel_box(512, 256), log=lines.append
+    ) == []
+
+
+def test_cli_autotune_refresh(cache_file, monkeypatch, capsys):
+    """`lbm autotune --refresh`: with a recorded entry it re-times only
+    the incumbents; without one it falls back to the full sweep."""
+    from lbm_tpu import cli
+
+    timed = []
+
+    def fake_time(params, obstacles, by, k, steps, repeats, log=print, px=1):
+        timed.append((by, k))
+        return 100.0 - by / 8 - k
+
+    monkeypatch.setattr(tuning, "time_temporal_candidate", fake_time)
+    kind = tuning.default_device_kind()
+    tuning.record(kind, 64, 128, [(16, 4, 50.0)])
+
+    rc = cli.main(["autotune", "--grid", "64x128", "--refresh"])
+    assert rc == 0
+    assert timed == [(16, 4)]  # incumbents only — not the full pool
+    out = capsys.readouterr().out
+    assert "falling back" not in out
+
+    # No recorded entry for this shape: --refresh falls back to the sweep.
+    timed.clear()
+    rc = cli.main(["autotune", "--grid", "64x256", "--refresh"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "falling back to a full sweep" in out
+    assert len(timed) > 1  # the full candidate pool ran
+    assert tuning.lookup(kind, 64, 256)
+
+
 @pytest.mark.medium
 def test_cached_pick_still_runs_correctly(cache_file):
     """A cache-driven (BY, K) must produce the same physics as the jnp
@@ -369,6 +458,12 @@ def test_shipped_tuning_cache_is_structurally_valid():
     )
     cache = json.loads(shipped.read_text())
     assert cache, "shipped cache must not be empty"
+    meta = cache.pop(tuning.META_KEY, {})
+    # Provenance sidecar ("__meta__"): every stamp must point at a real
+    # entry key and carry at least the recorded-at timestamp.
+    for mkey, stamp in meta.items():
+        assert mkey in cache, f"provenance for absent key {mkey!r}"
+        assert isinstance(stamp, dict) and "recorded" in stamp, (mkey, stamp)
     for key, entries in cache.items():
         m = re.fullmatch(r"(.+)\|(\d+)x(\d+)", key)
         assert m, f"malformed cache key {key!r}"
