@@ -24,6 +24,13 @@ defaults to ``lbm_tpu/tuning_cache.json`` (shipped with measured v5e
 entries); a missing/corrupt file silently disables the cache — tuning is
 an accelerator, never a correctness dependency.
 
+Absolute vs comparable timings: a sweep times each candidate with the
+SAME scan length, so the tunnel's fixed ~15-25 ms dispatch cost adds the
+same per-step constant to every entry (~24 µs/step at the default 960
+steps) — rankings are exact, but the stored µs overstate the pure step
+time (docs/PERF.md round-5: 47.0 µs at short loops = 42.5 µs true +
+dispatch).  Use 20000-step loops when an ABSOLUTE number matters.
+
 Staleness: cached entries outrank the heuristics by design, so a kernel
 change can silently inherit timings measured on the OLD kernel (the
 reference never had this problem — it re-derived its tuning every build
