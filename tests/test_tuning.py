@@ -365,6 +365,47 @@ def test_refresh_incumbents_retimes_and_warns_on_drift(cache_file, monkeypatch):
     ) == []
 
 
+def test_refresh_incumbents_timing_drift_and_dead_cache(cache_file, monkeypatch):
+    """The other two refresh outcomes: (a) same winner but timing drifted
+    beyond drift_warn_pct -> the 'kernels or platform changed' warning;
+    (b) every incumbent fails to compile/run -> [] with the stale-cache
+    message (callers fall back to the full sweep)."""
+    from lbm_tpu.config import LBMParams
+    from lbm_tpu.geometry import channel_box
+
+    params = LBMParams(128, 64, 960, 10, 0.1, 0.005, 1.85)
+    obstacles = channel_box(params.nx, params.ny)
+    kind = tuning.default_device_kind()
+    tuning.record(kind, 64, 128, [(32, 8, 40.0), (16, 4, 50.0)])
+
+    monkeypatch.setattr(
+        tuning,
+        "time_temporal_candidate",
+        lambda p, o, by, k, steps, repeats, log=print, px=1: {
+            (32, 8): 60.0,  # same winner, +50% — beyond the 25% default
+            (16, 4): 75.0,
+        }[(by, k)],
+    )
+    lines = []
+    results = tuning.refresh_incumbents(
+        params, obstacles, steps=960, repeats=2, log=lines.append
+    )
+    assert results[0][:2] == (32, 8)
+    assert any("winner timing drifted" in ln for ln in lines)
+    assert not any("winner changed" in ln for ln in lines)
+
+    monkeypatch.setattr(
+        tuning,
+        "time_temporal_candidate",
+        lambda *a, **kw: None,  # every candidate fails (VMEM/compile)
+    )
+    lines.clear()
+    assert tuning.refresh_incumbents(
+        params, obstacles, log=lines.append
+    ) == []
+    assert any("every incumbent failed" in ln for ln in lines)
+
+
 def test_cli_autotune_refresh(cache_file, monkeypatch, capsys):
     """`lbm autotune --refresh`: with a recorded entry it re-times only
     the incumbents; without one it falls back to the full sweep."""
